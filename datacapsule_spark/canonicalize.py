@@ -1,0 +1,111 @@
+"""Connected-components canonicalization over an alias-edge DataFrame.
+
+Implements the alternating large-star / small-star algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC
+'14) as a driver-side loop of DataFrame transformations — O(log n)
+rounds, each round two shuffles, `localCheckpoint()` per round to
+truncate lineage (SURVEY.md §4.2.1).
+
+This replaces the reference's implicit exact-string entity merge
+(NetworkX `add_node` on the same key unions attrs,
+tools/entity_extraction.py:93-133) with true distributed
+canonicalization: alias pairs from linking.py become edges; each
+connected component collapses to `min(node_id)` as canonical_id.
+
+Scale notes: each round is two self-joins + groupBys on (src,dst) —
+all shuffle-partitioned by key, no driver materialization except the
+O(1) convergence counter. Star-graph skew (one canonical id with 10^8
+aliases) is exactly what large-star alternation bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """edges(a, b) undirected → (node_id, canonical_id) mapping.
+
+    canonical_id = min node id (lexicographic) in the component.
+    Deterministic; idempotent (CC∘CC = CC) — property-tested against
+    networkx in tests/test_canonicalize.py.
+    """
+    spark = edges.sparkSession
+    # undirected, deduped edge list; drop self-loops
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if e.isEmpty():
+        return spark.createDataFrame([], "node_id string, canonical_id string")
+
+    for _ in range(max_iter):
+        # --- large-star: for each u, attach all neighbors v with v > u
+        #     to m(u) = min(N(u) ∪ {u})
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.withColumn("m", F.least("m", "u"))
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient edges to (larger → smaller); for each u
+        #     attach all smaller neighbors to the minimum
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        small = small.localCheckpoint(eager=True)  # truncate lineage
+        # convergence: edge set stable
+        delta = (
+            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if delta == 0:
+            break
+
+    # e now maps every non-root node to its component root
+    mapping = e.select(
+        F.col("u").alias("node_id"), F.col("v").alias("canonical_id")
+    )
+    roots = mapping.select(
+        F.col("canonical_id").alias("node_id"),
+        F.col("canonical_id").alias("canonical_id"),
+    ).distinct()
+    return mapping.union(roots).distinct()
+
+
+def apply_canonical(
+    df: DataFrame, mapping: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Rewrite id columns through the canonical mapping (left join +
+    coalesce — ids not in any component map to themselves)."""
+    out = df
+    for c in cols:
+        m = mapping.select(
+            F.col("node_id").alias(c), F.col("canonical_id").alias(f"_canon_{c}")
+        )
+        out = (
+            out.join(m, c, "left")
+            .withColumn(c, F.coalesce(F.col(f"_canon_{c}"), F.col(c)))
+            .drop(f"_canon_{c}")
+        )
+    return out

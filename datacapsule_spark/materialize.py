@@ -1,0 +1,177 @@
+"""Graph + relational materialization (SURVEY.md G5, S2, S4).
+
+triples_raw → deduped `edges` + attr-merged `nodes` (the GraphFrames
+encoding of the reference's nx.DiGraph, tools/entity_extraction.py:93-133
+and nx.write_graphml :252-255), plus the 4-table normalized relational
+layer mirroring tools/entity_extraction_db.py:85-137.
+
+Writes are partitioned parquet (`partitionBy(node_type / relation)`) —
+the Iceberg `writeTo(...).partitionedBy(...)` call is a one-line swap
+when an Iceberg catalog is configured (`iceberg=True`); partition
+pruning semantics are identical. Entity ids are content-derived
+(xxhash64) — no sequences, no lastrowid (entity_extraction_db.py:436),
+so re-runs are idempotent and distributed-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (src, relation, dst) with first-seen provenance —
+    NetworkX add_edge overwrite semantics → dropDuplicates."""
+    return triples.select(
+        F.col("subj").alias("src"),
+        F.col("pred").alias("relation"),
+        F.col("obj").alias("dst"),
+        "repo",
+        "path",
+    ).dropDuplicates(["src", "relation", "dst"])
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """Union of subj and obj projections, attr-merged per node_id.
+
+    Mirrors add_node merge-on-same-key semantics: one row per node_id,
+    node_type = first observed, name = display segment of the id
+    (after the "type:" prefix), attrs carries provenance counts.
+    """
+    subj = triples.select(
+        F.col("subj").alias("node_id"), F.col("subj_type").alias("node_type")
+    )
+    obj = triples.select(
+        F.col("obj").alias("node_id"), F.col("obj_type").alias("node_type")
+    )
+    ids = subj.unionByName(obj)
+    return (
+        ids.groupBy("node_id")
+        .agg(F.min("node_type").alias("node_type"), F.count("*").alias("degree"))
+        .withColumn(
+            "name", F.regexp_replace(F.col("node_id"), r"^[a-z]+:", "")
+        )
+        .withColumn(
+            "attrs",
+            F.create_map(
+                F.lit("degree"), F.col("degree").cast("string")
+            ),
+        )
+        .drop("degree")
+        .select("node_id", "node_type", "name", "attrs")
+    )
+
+
+def node_type_histogram(nodes: DataFrame) -> DataFrame:
+    """Census check mirroring entity_extraction.py:257-269."""
+    return nodes.groupBy("node_type").agg(F.count("*").alias("n")).orderBy("node_type")
+
+
+def relation_histogram(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("relation").agg(F.count("*").alias("n")).orderBy("relation")
+
+
+# ----------------------------------------------------------- relational
+
+def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
+    """Pivot triples_raw into the 4-table schema of
+    tools/entity_extraction_db.py:85-137 (species→entities,
+    distributions→entity_mentions, numerical_traits→numerical_facts,
+    descriptions→descriptions)."""
+    files = triples.where(F.col("subj_type") == "file")
+
+    # entities ≈ species: one row per file entity, with year/author attrs
+    year = (
+        files.where(F.col("pred") == "named_in")
+        .select(
+            "subj",
+            F.regexp_replace("obj", "^year:", "").cast("int").alias("naming_year"),
+        )
+        .groupBy("subj")
+        .agg(F.min("naming_year").alias("naming_year"))
+    )
+    author = (
+        files.where(F.col("pred") == "authored_by")
+        .select("subj", F.regexp_replace("obj", "^author:", "").alias("author"))
+        .groupBy("subj")
+        .agg(F.min("author").alias("author"))
+    )
+    base = files.groupBy("subj").agg(
+        F.first("repo").alias("repo"),
+        F.min("path").alias("first_path"),
+        F.first("lang").alias("lang"),
+    )
+    entities = (
+        base.join(year, "subj", "left")
+        .join(author, "subj", "left")
+        .select(
+            F.xxhash64("subj").alias("entity_id"),
+            F.col("subj").alias("name"),
+            F.lit("file").alias("kind"),
+            "lang",
+            "repo",
+            "first_path",
+            "naming_year",
+            "author",
+        )
+    )
+
+    # entity_mentions ≈ distributions: where does each referenced symbol
+    # / module appear (1:N, mirrors species→distributions)
+    mentions = (
+        triples.where(F.col("pred").isin("imports", "calls", "defines_function", "defines_class"))
+        .select(
+            F.xxhash64("obj").alias("entity_id"),
+            "repo",
+            "path",
+            F.col("pred").alias("kind"),
+        )
+        .distinct()
+    )
+
+    # numerical_facts ≈ numerical_traits (REAL value + unit)
+    facts = (
+        files.where(F.col("pred").isin("has_loc", "has_size"))
+        .select(
+            F.xxhash64("subj").alias("entity_id"),
+            F.col("pred").alias("fact_type"),
+            F.regexp_extract("obj", r":([0-9.]+)$", 1).cast("double").alias("value"),
+            F.when(F.col("pred") == "has_loc", F.lit("lines"))
+            .otherwise(F.lit("kb"))
+            .alias("unit"),
+        )
+    )
+
+    # descriptions ≈ raw-text payloads (X7 fallbacks + provenance)
+    descriptions = (
+        triples.where(F.col("obj_type") == "raw")
+        .select(
+            F.xxhash64("subj").alias("entity_id"),
+            F.lit("raw_fallback").alias("description_type"),
+            F.regexp_replace("obj", "^raw:", "").alias("content"),
+        )
+        .distinct()
+    )
+
+    return {
+        "entities": entities,
+        "entity_mentions": mentions,
+        "numerical_facts": facts,
+        "descriptions": descriptions,
+    }
+
+
+# ----------------------------------------------------------------- sinks
+
+def write_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    base_dir: str,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned sink (S2). nodes by node_type, edges by relation —
+    the same partition spec SURVEY.md prescribes for the Iceberg tables
+    (`writeTo(...).partitionedBy(...)`); parquet here because the test
+    sandbox has no Iceberg catalog."""
+    nodes.write.mode(mode).partitionBy("node_type").parquet(f"{base_dir}/nodes")
+    edges.write.mode(mode).partitionBy("relation").parquet(f"{base_dir}/edges")
