@@ -1,0 +1,99 @@
+"""Pipeline integration: census invariants, relational pivots, resume."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from datacapsule_spark.lineage import StageTracker
+from datacapsule_spark.materialize import node_type_histogram, relation_histogram
+from datacapsule_spark.pipeline import run_pipeline
+
+
+def _run(spark, smoke_repos, tmp_path, **kw):
+    return run_pipeline(spark, smoke_repos, str(tmp_path / "work"), **kw)
+
+
+def test_pipeline_census_and_relational(spark, smoke_repos, tmp_path):
+    out = _run(spark, smoke_repos, tmp_path, use_lsh=False)
+    nodes, edges = out["nodes"], out["edges"]
+    # every edge endpoint exists in nodes (graph closure)
+    ids = nodes.select("node_id")
+    dangling = (
+        edges.select(F.col("src").alias("node_id"))
+        .union(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .join(ids, "node_id", "left_anti")
+        .count()
+    )
+    assert dangling == 0
+    # node ids unique
+    assert nodes.count() == nodes.select("node_id").distinct().count()
+    # census: exactly the 10 predicates, exactly the expected node types
+    rels = {r["relation"] for r in relation_histogram(edges).collect()}
+    assert rels == {
+        "contains", "in_lang", "imports", "defines_function", "defines_class",
+        "calls", "authored_by", "named_in", "has_loc", "has_size",
+    }
+    types = {r["node_type"] for r in node_type_histogram(nodes).collect()}
+    assert types <= {
+        "repo", "dir", "file", "lang", "module", "symbol",
+        "author", "year", "metric", "raw",
+    }
+    # canonicalization merged planted alias variants: strictly fewer
+    # distinct symbols than raw extraction produced
+    raw_syms = (
+        out["triples_raw"].where(F.col("obj_type") == "symbol")
+        .select("obj").distinct().count()
+    )
+    canon_syms = (
+        out["triples"].where(F.col("obj_type") == "symbol")
+        .select("obj").distinct().count()
+    )
+    assert canon_syms < raw_syms
+    # relational layer: entities 1:1 with files; facts all numeric
+    assert out["entities"].count() == 500
+    assert out["entities"].select("entity_id").distinct().count() == 500
+    assert out["numerical_facts"].where(F.col("value").isNull()).count() == 0
+    # sentinel authors filtered (P1)
+    assert (
+        out["entities"].where(F.col("author").isin("unknown", "n/a")).count() == 0
+    )
+
+
+def test_pipeline_resume_identical_output(spark, smoke_repos, tmp_path):
+    """Kill-after-stage-k resume: invalidate a mid-pipeline stage and
+    re-run — outputs must be identical, no duplicate triples."""
+    work = tmp_path / "work2"
+    out1 = run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
+    t1 = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in out1["triples"].collect()
+    )
+    # simulate mid-pipeline kill: canonicalize and later stages lost
+    tracker = StageTracker(spark, str(work))
+    for stage in ["30_canonicalize", "40_canon_triples", "50_nodes", "60_edges"]:
+        tracker.invalidate(stage)
+    out2 = run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
+    t2 = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in out2["triples"].collect()
+    )
+    assert t1 == t2
+    assert len(t2) == len(set(t2)), "resume must not duplicate triples"
+    # lineage table recorded every stage
+    stages = {r["stage"] for r in out2["lineage"].collect()}
+    assert {"10_extract", "30_canonicalize", "60_edges"} <= stages
+
+
+def test_pipeline_skips_completed_stages(spark, smoke_repos, tmp_path, monkeypatch):
+    work = tmp_path / "work3"
+    run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
+    # second run must not re-extract: poison the extractor and rerun
+    import datacapsule_spark.pipeline as P
+
+    def boom(*a, **k):
+        raise AssertionError("extract re-ran despite completed stage")
+
+    monkeypatch.setattr(P, "extract_triples", boom)
+    out = run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
+    assert out["triples"].count() > 0
