@@ -1,0 +1,213 @@
+"""Document deduplication operators for large-scale training pipelines.
+
+Five tiers, each a DataFrame-native operator over a documents table
+(doc_id, text, ...):
+
+- exact:     hash-groupBy on md5(text) — one shuffle on the hash key.
+- minhash:   shingle → minhash signature → banded LSH bucket join —
+             near-dup pairs without O(n²); signatures via md5 (stable
+             across engines so the DuckDB oracle can reproduce them).
+- simhash:   64-bit sign-aggregated token fingerprint; near-dups =
+             small hamming distance within blocking buckets.
+- ngram_jaccard: exact n-gram Jaccard over candidate pairs (the
+             re-score stage after any blocking tier).
+- embedding_cosine: near-dup by cosine ≥ τ over an embedding column
+             (pairs via LSH buckets at scale; exact join here).
+
+Determinism note: every hash is md5-derived (F.md5 ≡ DuckDB md5), so
+the oracle SQL reproduces signatures bit-for-bit — Spark's xxhash64 and
+DuckDB's hash() would NOT match across engines.
+
+At 100 TB: exact dedup shuffles only (hash, doc_id) pairs; minhash
+bands shuffle B small (band_hash, doc_id) tables; no stage materializes
+pairwise candidates beyond colliding buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> (lowercased,
+    whitespace-tokenized) — JVM-side higher-order functions only."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i <= F.size(toks) - n,
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (content_hash, n_dups,
+    keep_id = min id). Groups with n_dups > 1 are duplicates."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = min over shingles of
+    md5(i || ':' || shingle). Pure column expressions — reproducible in
+    the DuckDB oracle with list_transform/list_min."""
+    sh = _word_shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
+        F.size(F.col("sig")) > 0
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair (a < b). Shuffle key = (band_idx, band_hash)."""
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard re-score of candidate pairs(a, b) —
+    array_intersect/array_union, no UDF."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _word_shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token 64-bit hash from md5 hex
+    (first 16 hex chars → bigint via conv), bit-majority aggregated.
+
+    Implementation: explode tokens, per-bit ±1 contributions summed via
+    groupBy — one shuffle on doc_id; the bit loop is 64 column
+    expressions, all codegen'd.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    # unsigned 60-bit token hash (15 hex chars keeps conv inside bigint)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(20,0)")
+    toks = toks.withColumn("th", h)
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("th") / F.lit(2**i)).cast("bigint") % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    sim = None
+    for i in range(60):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("decimal(20,0)")).otherwise(
+            F.lit(0).cast("decimal(20,0)")
+        )
+        sim = term if sim is None else sim + term
+    # < 2^60 so it fits signed int64 — bigint for engine-portable compare
+    return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold. Exact all-pairs here
+    (testdata scale); at 100 TB run inside hyperplane buckets
+    (vectorize.hyperplane_signatures) so the join is bucket-local."""
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (na * nb))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (no UDFs in hot paths): language ID by
+stopword-hit heuristic, quality scoring (length/punct/stopword ratios),
+token counting (whitespace + BPE-ish sub-token regex), and document
+fingerprinting (sorted-distinct-token digest). Each has an exact DuckDB
+oracle (md5/array functions align across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (deterministic heuristic; the
+# testdata documents are synthetic word soup, so markers double as a
+# verifiable closed vocabulary).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword heuristic: score = marker hits per language,
+    predicted = argmax (ties → lexicographic smallest language)."""
+    toks = _tokens(text_col)
+    out = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out = out.withColumn(
+            f"score_{lang}", F.size(F.array_intersect(F.array_distinct("toks"), arr))
+        )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = None
+    for l in reversed(langs):
+        cond = F.when(F.col(f"score_{l}") == best, F.lit(l))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{l}").alias(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and
+    a composite score in [0, 1]:
+        score = 0.4*min(n_tokens/64, 1)
+              + 0.3*(1 - punct_ratio)
+              + 0.3*min(stopword_ratio*5, 1)
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    stop = F.array(*[F.lit(m) for ms in LANG_MARKERS.values() for m in ms])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count (split camel /
+    alpha-num boundaries; ~chars/4 floor as a cheap LLM-token proxy)."""
+    ws = F.size(_tokens(text_col))
+    subtok = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col), r"([a-z])([A-Z])|([A-Za-z])([0-9])", r"$1$3 $2$4"
+                ),
+                r"[^A-Za-z0-9]+",
+            ),
+            lambda t: t != "",
+        )
+    )
+    chars4 = F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        subtok.alias("sub_tokens"),
+        chars4.alias("approx_llm_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token list (Broder-sketch-lite; detects shuffled dupes)."""
+    toks = F.array_sort(F.array_distinct(_tokens(text_col)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+        F.size(toks).alias("vocab_size"),
+    )

@@ -1,0 +1,943 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark_fn, oracle_sql)
+pair over the driver testdata tables (TESTDATA.md).
+
+Contract (driver): each spark fn takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL runs in DuckDB over pre-registered views of
+the same parquet. Column names are aliased identically on both sides;
+floats are rounded to fixed decimals so cross-engine value-hashes
+match; LIMIT queries carry a unique total order.
+
+Queries whose semantics are not SQL-expressible (LSH banding) omit the
+oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SENTINEL_EVENTS = ("error", "timeout")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational operators (SURVEY §2.2-2.6: P*, J*, A*, W*, U*)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """A4/A1: wide aggregate with partial+final hash agg (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    """J1+W1: 3-way join, group, top-10 by revenue (TPC-H Q3 shape).
+    Small dims broadcast; top-k compiles to TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark, sf_dir):
+    """J1 at full fan: 6-way join with two broadcast dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def distinct_segments(spark, sf_dir):
+    """P4: DISTINCT projection (dspy_query_db.py:64-67 probe)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def filter_valid_events(spark, sf_dir):
+    """P1: sentinel/invalid-value filter (entity_extraction.py:158)."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(
+        (~F.col("event_type").isin(*SENTINEL_EVENTS))
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    ).select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+def like_brand_parts(spark, sf_dir):
+    """P5: LIKE-policy predicate (dspy_query_db.py:27-31)."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_type").contains("AND")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+def union_high_value(spark, sf_dir):
+    """U1: union + distinct of two derived sets."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9000).select(F.col("c_name").alias("name"))
+    b = s.where(F.col("s_acctbal") > 9000).select(F.col("s_name").alias("name"))
+    return a.union(b).distinct()
+
+
+def anti_join_idle_customers(spark, sf_dir):
+    """left_anti — the visited-set device of the BFS (SURVEY J3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def semi_join_ordered_parts(spark, sf_dir):
+    """left_semi: parts that appear in any lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def window_top3_orders_per_segment(spark, sf_dir):
+    """W1 grouped: row_number per partition, k=3 (filter→rank→limit,
+    the reference's overfetch quirk fixed — SURVEY G7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+def page2_orders(spark, sf_dir):
+    """W2: order + offset/limit pagination (app.py:469-495)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .offset(20)
+        .limit(20)
+    )
+
+
+def histogram_event_types(spark, sf_dir):
+    """A2: per-type histogram (entity_extraction.py:261-269)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def rollup_order_stats(spark, sf_dir):
+    """Grouping sets via rollup — free through Catalyst (SURVEY §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def distinct_parts_per_flag(spark, sf_dir):
+    """Distinct aggregate: count(distinct) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling time window (streaming-shaped agg, batch execution):
+    the watermarked Structured-Streaming version of this exact plan is
+    streaming/stream_ops.py::hourly_event_counts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def events_lag_delta(spark, sf_dir):
+    """Analytic window: per-user value delta vs previous event."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (training-data pipeline operators) over `documents`
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard_docs(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.5 over a bounded candidate set (same
+    `source` — blocking stands in for LSH so the oracle stays SQL)."""
+    from .operators.dedup import _word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.col("source"), _word_shingles("text", 3).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("a"), F.col("source").alias("src_a"), F.col("sh").alias("sha")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b"), F.col("source").alias("src_b"), F.col("sh").alias("shb")
+    )
+    return (
+        a.join(b, (F.col("a") < F.col("b")) & (F.col("src_a") == F.col("src_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    from .operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_pairs_docs(spark, sf_dir):
+    """MinHash+LSH banding (16 hashes, 4 bands × 4 rows) — candidate
+    pairs. md5-derived so the DuckDB oracle reproduces exactly."""
+    from .operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(minhash_signatures(d)).select("a", "b")
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs, cosine ≥ 0.9, bounded slice."""
+    from .operators.dedup import embedding_cosine_pairs
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    out = embedding_cosine_pairs(e, threshold=0.3)
+    return out.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis suite over `documents`
+# --------------------------------------------------------------------------
+
+def text_language_id(spark, sf_dir):
+    from .operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def text_quality(spark, sf_dir):
+    from .operators.text import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality",
+    )
+
+
+def text_token_count(spark, sf_dir):
+    from .operators.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Vector search suite over `embeddings` (SURVEY G7, F10, J6)
+# --------------------------------------------------------------------------
+
+def _emb_double(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def vector_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs the vec_id=0 vector; filter→rank→
+    limit (the reference's k=100-then-filter quirk fixed)."""
+    e = _emb_double(spark, sf_dir)
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    from .vectorize import _cosine_expr
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        e.where(F.col("vec_id") != 0)
+        .withColumn("_q", q)
+        .withColumn("sim", F.round(_cosine_expr("embedding"), 6))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", "sim")
+    )
+
+
+def vector_knn_batch(spark, sf_dir):
+    """Batch k-NN: 5 query vectors (vec_id 0-4) × top-5 each via a
+    per-query window — the set-oriented G2 shape."""
+    e = _emb_double(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    from .vectorize import _cosine_expr
+
+    pairs = e.where(F.col("vec_id") >= 5).join(F.broadcast(queries))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("sim", F.round(_cosine_expr("embedding", "qvec"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "rn", "vec_id", "sim")
+    )
+
+
+def vector_label_centroid_sim(spark, sf_dir):
+    """Aggregate over vectors: per-label mean vector then its cosine to
+    the global mean — exercises element-wise array aggregation."""
+    e = _emb_double(spark, sf_dir)
+    exploded = e.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    per_label = exploded.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    glob = exploded.groupBy("i").agg(F.avg("x").alias("gx"))
+    j = per_label.join(glob, "i")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("cx") * F.col("gx"))
+                / (
+                    F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+                    * F.sqrt(F.sum(F.col("gx") * F.col("gx")))
+                ),
+                6,
+            ).alias("centroid_sim")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph suite: KG extraction + traversal on testdata (SURVEY G1-G5)
+# --------------------------------------------------------------------------
+
+def kg_triples_documents(spark, sf_dir):
+    """The KG extractor run over `documents` as a corpus (doc_id →
+    path). Word-soup text yields exactly the structural triples
+    (contains / in_lang / has_loc) — SQL-expressible oracle."""
+    from .extract import extract_triples
+
+    d = _t(spark, sf_dir, "documents")
+    repos = d.select(
+        F.lit("docs").alias("repo"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("text")).alias("lang"),
+        F.col("text").alias("content"),
+    )
+    return extract_triples(repos, salt=False).select("subj", "pred", "obj")
+
+
+def graph_bfs_customers_in_region(spark, sf_dir):
+    """G1/G2 batch BFS over an FK-derived graph: region→nation→customer
+    containment edges; start = every region node, target = customer.
+    Oracle: the flattened 2-hop join."""
+    from .traverse import find_nodes_by_node_type
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    nodes = (
+        r.select(
+            F.concat(F.lit("region:"), "r_regionkey").alias("node_id"),
+            F.lit("repo").alias("node_type"),
+            F.col("r_name").alias("name"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("nation:"), "n_nationkey").alias("node_id"),
+                F.lit("dir").alias("node_type"),
+                F.col("n_name").alias("name"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("cust:"), "c_custkey").alias("node_id"),
+                F.lit("file").alias("node_type"),
+                F.col("c_name").alias("name"),
+            )
+        )
+        .withColumn("attrs", F.create_map(F.lit("k"), F.lit("v")))
+    )
+    edges = (
+        n.select(
+            F.concat(F.lit("region:"), "n_regionkey").alias("src"),
+            F.lit("contains").alias("relation"),
+            F.concat(F.lit("nation:"), "n_nationkey").alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("nation:"), "c_nationkey").alias("src"),
+                F.lit("contains").alias("relation"),
+                F.concat(F.lit("cust:"), "c_custkey").alias("dst"),
+            )
+        )
+        .withColumn("repo", F.lit(None).cast("string"))
+        .withColumn("path", F.lit(None).cast("string"))
+    )
+    starts = nodes.where(F.col("node_type") == "repo").select(
+        F.col("node_id").alias("query_id"), F.col("node_id").alias("node_id")
+    )
+    hits = find_nodes_by_node_type(nodes, edges, starts, "file", max_hops=3)
+    return hits.select(
+        F.col("query_id").alias("region_node"), F.col("node_id").alias("customer_node")
+    )
+
+
+def graph_adjacent_names(spark, sf_dir):
+    """G4: 1-hop neighbor name sets per nation (collect_set →
+    concat_ws for engine-portable compare)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = n.join(c, n.n_nationkey == c.c_nationkey, "left")
+    return j.groupBy("n_name").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("c_name"))).alias("neighbors"),
+        F.count("c_custkey").alias("n_neighbors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_regional_revenue": q5_regional_revenue,
+    "distinct_segments": distinct_segments,
+    "filter_valid_events": filter_valid_events,
+    "like_brand_parts": like_brand_parts,
+    "union_high_value": union_high_value,
+    "anti_join_idle_customers": anti_join_idle_customers,
+    "semi_join_ordered_parts": semi_join_ordered_parts,
+    "window_top3_orders_per_segment": window_top3_orders_per_segment,
+    "page2_orders": page2_orders,
+    "histogram_event_types": histogram_event_types,
+    "rollup_order_stats": rollup_order_stats,
+    "distinct_parts_per_flag": distinct_parts_per_flag,
+    "events_hourly": events_hourly,
+    "events_lag_delta": events_lag_delta,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "vector_topk": vector_topk,
+    "vector_knn_batch": vector_knn_batch,
+    "vector_label_centroid_sim": vector_label_centroid_sim,
+    "kg_triples_documents": kg_triples_documents,
+    "graph_bfs_customers_in_region": graph_bfs_customers_in_region,
+    "graph_adjacent_names": graph_adjacent_names,
+}
+
+# DuckDB-dialect oracles. Keys missing here → driver rows-only check.
+ORACLES: dict[str, str] = {}
+
+
+def _o(name):
+    def reg(sql):
+        ORACLES[name] = sql
+        return sql
+
+    return reg
+
+
+_o("q1_pricing_summary")(
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+)
+
+_o("q3_top_orders")(
+    """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+)
+
+_o("q5_regional_revenue")(
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+)
+
+_o("distinct_segments")("SELECT DISTINCT c_mktsegment FROM customer")
+
+_o("filter_valid_events")(
+    """
+SELECT event_id, event_type, round(value, 2) AS value
+FROM events
+WHERE event_type NOT IN ('error', 'timeout') AND value IS NOT NULL AND value > 0
+"""
+)
+
+_o("like_brand_parts")(
+    "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%AND%'"
+)
+
+_o("union_high_value")(
+    """
+SELECT DISTINCT name FROM (
+  SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT s_name AS name FROM supplier WHERE s_acctbal > 9000
+)
+"""
+)
+
+_o("anti_join_idle_customers")(
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+"""
+)
+
+_o("semi_join_ordered_parts")(
+    """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+)
+
+_o("window_top3_orders_per_segment")(
+    """
+SELECT c_mktsegment, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+"""
+)
+
+_o("page2_orders")(
+    """
+SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20 OFFSET 20
+"""
+)
+
+_o("histogram_event_types")(
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+)
+
+_o("rollup_order_stats")(
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+)
+
+_o("distinct_parts_per_flag")(
+    """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+)
+
+_o("events_hourly")(
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+)
+
+_o("events_lag_delta")(
+    """
+SELECT event_id, user_id, round(value - prev_value, 2) AS delta
+FROM (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS prev_value
+  FROM events
+) WHERE prev_value IS NOT NULL
+"""
+)
+
+_o("dedup_exact_docs")(
+    """
+SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+)
+
+# shared DuckDB fragment: distinct word-3-gram shingles per doc
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+)
+"""
+
+_o("dedup_ngram_jaccard_docs")(
+    _SHINGLES_CTE
+    + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.source = b.source
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+"""
+)
+
+_o("dedup_simhash_docs")(
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) r
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+)
+
+_o("dedup_minhash_pairs_docs")(
+    _SHINGLES_CTE
+    + """
+, sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
+  FROM sh WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
+           AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+)
+
+_o("dedup_embedding_cosine")(
+    """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+)
+
+_LANGS = ["de", "en", "es", "fr"]
+_MARKER_SQL = {
+    "en": "['the','and','of','to','in']",
+    "es": "['el','la','de','que','los']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','les','et','des']",
+}
+
+_o("text_language_id")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"         len(list_intersect(t, {_MARKER_SQL[l]})) AS score_{l}"
+        for l in _LANGS
+    )
+    + """
+  FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE
+         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang
+FROM scored
+"""
+)
+
+_ALL_MARKERS = (
+    "['the','and','of','to','in','el','la','de','que','los',"
+    "'der','die','und','das','ist','le','les','et','des']"
+)
+
+_o("text_quality")(
+    f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(t, x -> list_contains({_ALL_MARKERS}, x)))::DOUBLE
+           / greatest(len(t), 1) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 64.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(stopword_ratio * 5, 1.0), 6) AS quality
+FROM feat
+"""
+)
+
+_o("text_token_count")(
+    """
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws_tokens,
+       len(list_filter(
+             regexp_split_to_array(
+               regexp_replace(text,
+                 '([a-z])([A-Z])|([A-Za-z])([0-9])', '\\1\\3 \\2\\4', 'g'),
+               '[^A-Za-z0-9]+'),
+             x -> x <> '')) AS sub_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS approx_llm_tokens
+FROM documents
+"""
+)
+
+_o("text_fingerprint")(
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS toks
+  FROM documents
+)
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+       len(toks) AS vocab_size
+FROM t
+"""
+)
+
+_o("vector_topk")(
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC LIMIT 20
+"""
+)
+
+_o("vector_knn_batch")(
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
+)
+SELECT query_id, rn, vec_id, sim FROM scored WHERE rn <= 5
+"""
+)
+
+_o("vector_label_centroid_sim")(
+    """
+WITH ex AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+), per_label AS (
+  SELECT label, i, avg(x) AS cx FROM ex GROUP BY label, i
+), global_mean AS (
+  SELECT i, avg(x) AS gx FROM ex GROUP BY i
+)
+SELECT label,
+       round(sum(cx * gx) / (sqrt(sum(cx * cx)) * sqrt(sum(gx * gx))), 6)
+         AS centroid_sim
+FROM per_label JOIN global_mean USING (i)
+GROUP BY label
+"""
+)
+
+_o("kg_triples_documents")(
+    """
+WITH f AS (
+  SELECT 'file:docs/d' || doc_id AS fid, coalesce(lang, 'text') AS lang, text
+  FROM documents
+)
+SELECT 'repo:docs' AS subj, 'contains' AS pred, fid AS obj FROM f
+UNION ALL
+SELECT fid, 'in_lang', 'lang:' || lang FROM f
+UNION ALL
+SELECT fid, 'has_loc',
+       'loc:' || (length(text) - length(replace(text, chr(10), '')) + 1) FROM f
+"""
+)
+
+_o("graph_bfs_customers_in_region")(
+    """
+SELECT 'region:' || n_regionkey AS region_node,
+       'cust:' || c_custkey AS customer_node
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+"""
+)
+
+_o("graph_adjacent_names")(
+    """
+SELECT n_name,
+       coalesce(array_to_string(list_sort(list(DISTINCT c_name)), '|'), '') AS neighbors,
+       count(c_custkey) AS n_neighbors
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the KG extractor over the documents corpus joined with
+    quality + dedup signals — scan → mapInPandas extract → agg → join,
+    the construction pipeline in miniature."""
+    triples = kg_triples_documents(spark, sf_dir)
+    counts = triples.groupBy("pred").agg(F.count("*").alias("n_triples"))
+    return counts.orderBy("pred")

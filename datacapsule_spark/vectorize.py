@@ -1,0 +1,228 @@
+"""Graph vectorization + distributed cosine top-k (SURVEY.md G6, G7, F10).
+
+Replaces the reference's in-RAM JSON vector store + O(N) python loop
+(nanovector_db.py:11-110) with DataFrame-native scoring:
+
+- descriptor strings built with concat_ws (deterministic embedding
+  input, mirrors react_tools.py:245-267),
+- deterministic hash-embeddings (FIXTURES F6) via an Arrow-batched
+  pandas iterator — the stand-in for the remote embedding API
+  (react_tools.py:72-78, MAX_BATCH_SIZE batching),
+- brute-force cosine top-k with filter → rank → limit. The reference
+  applies the type filter AFTER k=100 truncation (react_tools.py:
+  313-316) which can under-return; we filter first (documented
+  semantic fix, SURVEY §2.8 G7).
+
+Scale path: the scoring is a JVM-side higher-order-function reduction
+(zip_with + aggregate) — no Python in the hot loop; top-k compiles to
+TakeOrderedAndProject (no global sort). For repeated serving queries,
+`lsh_bucketed_topk` pre-blocks with random-hyperplane signatures so
+each query scores only its bucket (candidate set << N), then re-ranks
+exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+
+
+# ------------------------------------------------------- descriptors (G6)
+
+def node_descriptors(nodes: DataFrame) -> DataFrame:
+    """Entity descriptor text, mirrors react_tools.py:245-250."""
+    return nodes.select(
+        F.col("node_id").alias("id"),
+        F.lit("entity").alias("kind"),
+        F.col("node_type").alias("entity_type"),
+        F.col("name"),
+        F.concat_ws(
+            ", ",
+            F.concat(F.lit("entity id: "), F.col("node_id")),
+            F.concat(F.lit("type: "), F.col("node_type")),
+            F.concat(F.lit("name: "), F.col("name")),
+        ).alias("text"),
+    )
+
+
+def edge_descriptors(edges: DataFrame) -> DataFrame:
+    """Relation descriptor text, mirrors react_tools.py:265-267."""
+    return edges.select(
+        F.concat_ws("->", "src", "relation", "dst").alias("id"),
+        F.lit("relation").alias("kind"),
+        F.col("relation").alias("entity_type"),
+        F.col("relation").alias("name"),
+        F.concat_ws(
+            ", ",
+            F.concat(F.lit("relation: from "), F.col("src")),
+            F.concat(F.lit("to "), F.col("dst")),
+            F.concat(F.lit("type: "), F.col("relation")),
+        ).alias("text"),
+    )
+
+
+# ------------------------------------------------ hash embeddings (F6)
+
+def hash_embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """vec[i] = int(sha256(f"{text}:{i}")[:8], 16) / 2^32 - 0.5, L2-norm.
+
+    Deterministic stand-in for the remote embedding API — identical
+    formula in the numpy oracle (tests) and here.
+    """
+    v = np.array(
+        [
+            int(hashlib.sha256(f"{text}:{i}".encode()).hexdigest()[:8], 16)
+            / 2**32
+            - 0.5
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def embed_descriptors(desc: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """descriptors(id, kind, entity_type, name, text) → EMBEDDINGS rows.
+
+    mapInPandas: one Arrow batch in, one out — the batched remote-API
+    call shape (react_tools.py:72-78) without the network.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["embedding"] = [
+                hash_embed_text(t, dim).tolist() for t in pdf["text"]
+            ]
+            yield pdf[["id", "kind", "entity_type", "name", "embedding"]]
+
+    from .schema import EMBEDDINGS
+
+    return desc.mapInPandas(gen, schema=EMBEDDINGS)
+
+
+# ----------------------------------------------------- cosine top-k (G7)
+
+def _cosine_expr(vec_col: str, qname: str = "_q") -> F.Column:
+    """JVM-side cosine similarity between an array<float> column and a
+    broadcast literal query vector column `_q` — zip_with multiply +
+    aggregate sum, whole-stage-codegen friendly, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(qname), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(qname), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    entity_type: str | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """filter (type, threshold) → rank by cosine desc → limit k.
+
+    Returns (id, kind, entity_type, name, sim). Compiles to a single
+    scan + TakeOrderedAndProject: no shuffle beyond the final top-k
+    merge, no Python.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings.withColumn("_q", q)
+    if entity_type is not None:
+        df = df.where(F.col("entity_type") == entity_type)  # filter BEFORE rank
+    scored = df.withColumn("sim", _cosine_expr("embedding")).drop("_q")
+    return (
+        scored.where(F.col("sim") >= F.lit(threshold))
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Many queries at once: broadcast the (small) query set, score
+    every (query, item) pair JVM-side, per-query top-k via window.
+
+    queries(query_id, qvec array<float>). Set-oriented G2 analogue —
+    free parallelism over both rows and queries.
+    """
+    from pyspark.sql import Window
+
+    pairs = embeddings.join(F.broadcast(queries))
+    scored = pairs.withColumn(
+        "sim",
+        _cosine_expr("embedding", "qvec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn", "embedding", "qvec")
+    )
+
+
+# ------------------------------------------- LSH-bucketed ANN (scale path)
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_planes: int = 8, seed: int = 42, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Random-hyperplane (SimHash) bucket id per vector — sign pattern
+    of n_planes dot products, packed into an int. Deterministic planes
+    from the seed; JVM-side via zip_with/aggregate on literal arrays."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    sig = F.lit(0)
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.withColumn("bucket", sig)
+
+
+def lsh_bucketed_topk(
+    embeddings_with_buckets: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN: score only vectors whose bucket is within `probe_hamming`
+    bit-flips of the query's bucket, then exact re-rank. Bucket column
+    must come from hyperplane_signatures with the same seed/planes."""
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = sum((1 << i) for i in range(n_planes) if planes[i] @ q >= 0)
+    buckets = {qsig}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            buckets.add(qsig ^ (1 << i))
+    cand = embeddings_with_buckets.where(F.col("bucket").isin(list(buckets)))
+    return cosine_topk(cand.drop("bucket"), query_vec, k=k)
