@@ -1,0 +1,106 @@
+"""Benchmark harness — one JSON line to stdout (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG
+construction pipeline on the generated bench corpus, and reports
+per-query wall seconds + pipeline triples/sec.
+
+    python bench.py            # full run
+    python bench.py --quick    # headline queries only, no KG pipeline
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "window_top3_orders_per_segment",
+    "events_hourly",
+    "events_lag_delta",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs_docs",
+    "dedup_simhash_docs",
+    "text_quality",
+    "text_fingerprint",
+    "vector_topk",
+    "vector_knn_batch",
+    "kg_triples_documents",
+    "graph_bfs_customers_in_region",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    quick = "--quick" in sys.argv
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from datacapsule_spark.queries import QUERIES
+    from datacapsule_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + testdata warmup (not timed): touch every input once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()  # count() forces full execution
+        queries[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+    }
+
+    if not quick:
+        # KG construction throughput (the north-rule metric):
+        # extraction → canonicalization → materialize on the bench corpus
+        from datacapsule_spark.corpus import ensure_corpus
+        from datacapsule_spark.pipeline import run_pipeline
+
+        corpus = ensure_corpus("bench")  # 50k synthetic source files
+        repos = spark.read.parquet(corpus)
+        n_files = repos.count()
+        work = "/tmp/bench_kg_work"
+        shutil.rmtree(work, ignore_errors=True)
+        t0 = time.time()
+        out = run_pipeline(spark, repos, work, use_lsh=False)
+        n_triples = out["triples"].count()
+        kg_wall = time.time() - t0
+        result["kg_pipeline"] = {
+            "files": n_files,
+            "triples": n_triples,
+            "wall_sec": round(kg_wall, 3),
+            "triples_per_sec": round(n_triples / kg_wall, 1),
+            "files_per_sec": round(n_files / kg_wall, 1),
+        }
+        print(
+            f"# kg_pipeline: {n_triples} triples in {kg_wall:.1f}s "
+            f"({n_triples/kg_wall:.0f} triples/s)",
+            file=sys.stderr,
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread over the cluster: the testdata parquet is a
+    single file (one input split), which would serialize the heavy
+    per-doc expression work onto one core — repartition by id first.
+    At real scale the source has many splits and this is a no-op
+    choice; the shuffle moves only the corpus once."""
+    d = _t(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style relational operators (SURVEY §2.2-2.6: P*, J*, A*, W*, U*)
 # --------------------------------------------------------------------------
@@ -234,18 +244,18 @@ def events_lag_delta(spark, sf_dir):
 def dedup_exact_docs(spark, sf_dir):
     from .operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 def dedup_ngram_jaccard_docs(spark, sf_dir):
     """Exact 3-gram Jaccard ≥ 0.5 over a bounded candidate set (same
     `source` — blocking stands in for LSH so the oracle stays SQL)."""
-    from .operators.dedup import _word_shingles
+    from .operators.dedup import with_shingles
 
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.col("source"), _word_shingles("text", 3).alias("sh")
-    )
+    d = _docs(spark, sf_dir)
+    sh = with_shingles(d, "text", 3).select(
+        "doc_id", F.col("source"), F.col("grams").alias("sh")
+    ).localCheckpoint(eager=False)  # consumed by both join sides
     a = sh.select(
         F.col("doc_id").alias("a"), F.col("source").alias("src_a"), F.col("sh").alias("sha")
     )
@@ -270,7 +280,7 @@ def dedup_ngram_jaccard_docs(spark, sf_dir):
 def dedup_simhash_docs(spark, sf_dir):
     from .operators.dedup import simhash64
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64(_docs(spark, sf_dir))
 
 
 def dedup_minhash_pairs_docs(spark, sf_dir):
@@ -278,7 +288,7 @@ def dedup_minhash_pairs_docs(spark, sf_dir):
     pairs. md5-derived so the DuckDB oracle reproduces exactly."""
     from .operators.dedup import minhash_lsh_pairs, minhash_signatures
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return minhash_lsh_pairs(minhash_signatures(d)).select("a", "b")
 
 
@@ -302,13 +312,13 @@ def dedup_embedding_cosine(spark, sf_dir):
 def text_language_id(spark, sf_dir):
     from .operators.text import language_id
 
-    return language_id(_t(spark, sf_dir, "documents"))
+    return language_id(_docs(spark, sf_dir))
 
 
 def text_quality(spark, sf_dir):
     from .operators.text import quality_score
 
-    q = quality_score(_t(spark, sf_dir, "documents"))
+    q = quality_score(_docs(spark, sf_dir))
     return q.select(
         "doc_id",
         "n_chars",
@@ -322,13 +332,13 @@ def text_quality(spark, sf_dir):
 def text_token_count(spark, sf_dir):
     from .operators.text import token_count
 
-    return token_count(_t(spark, sf_dir, "documents"))
+    return token_count(_docs(spark, sf_dir))
 
 
 def text_fingerprint(spark, sf_dir):
     from .operators.text import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    return fingerprint(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -411,7 +421,7 @@ def kg_triples_documents(spark, sf_dir):
     (contains / in_lang / has_loc) — SQL-expressible oracle."""
     from .extract import extract_triples
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     repos = d.select(
         F.lit("docs").alias("repo"),
         F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("path"),

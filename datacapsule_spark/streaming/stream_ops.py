@@ -1,0 +1,69 @@
+"""Structured Streaming surface.
+
+The reference has NO data streaming (SURVEY.md §2.10 — its "streaming"
+is fake token chunking, dspy_inference.py:236-330), so nothing here
+ports reference behavior. These operators exist because the engine's
+batch plans (queries.events_hourly, extraction) have natural streaming
+twins that a production deployment of this pipeline would run for
+incremental KG construction:
+
+- hourly_event_counts: the watermarked streaming twin of
+  queries.events_hourly — identical agg expression, late data bounded
+  by the watermark.
+- incremental_extract_triples: readStream over a repos directory →
+  the same Arrow-batched extractor → append-mode sink. New source
+  files become new triples without re-running the batch job
+  (micro-batch checkpointing gives the same resume semantics as
+  lineage.StageTracker does for batch).
+
+Tested with in-memory/file streams in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extract import extract_triples
+from ..schema import REPOS
+
+
+def hourly_event_counts(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling-window aggregate with late-data watermark.
+
+    events_stream must carry (ts timestamp, event_type string, value
+    double). Output schema matches the batch events_hourly query
+    (hour, event_type, n, avg_value) so batch and stream results are
+    union-compatible (lambda-free kappa shape).
+    """
+    return (
+        # watermarks require TIMESTAMP (parquet may carry TIMESTAMP_NTZ)
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "avg_value")
+    )
+
+
+def incremental_extract_triples(
+    spark, input_dir: str, checkpoint_dir: str, output_dir: str,
+    trigger_once: bool = True,
+):
+    """readStream(repos parquet dir) → extract → append parquet sink.
+
+    Returns the StreamingQuery. trigger_once=True processes all
+    available input then stops (the batch-equivalence mode the tests
+    assert on); in production use a processingTime trigger.
+    """
+    stream = spark.readStream.schema(REPOS).parquet(input_dir)
+    triples = extract_triples(stream, salt=False)  # no repartition in stream
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -136,7 +136,7 @@ def cosine_topk(
     query_vec,
     k: int = 10,
     entity_type: str | None = None,
-    threshold: float = 0.0,
+    threshold: float = -1.0,
 ) -> DataFrame:
     """filter (type, threshold) → rank by cosine desc → limit k.
 

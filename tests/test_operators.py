@@ -1,0 +1,325 @@
+"""Unit tests for dedup / text / vector / multimodal operators against
+in-Python oracles (numpy / hashlib / brute force)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different words here entirely unrelated text"),
+        (4, "der hund und die katze und das haus"),
+        (5, "el perro que la casa de los gatos"),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        from datacapsule_spark.operators.dedup import exact_dedup
+
+        out = {r["content_hash"]: r for r in exact_dedup(docs).collect()}
+        dup = [r for r in out.values() if r["n_dups"] > 1]
+        assert len(dup) == 1
+        assert dup[0]["n_dups"] == 2 and dup[0]["keep_id"] == 0
+
+    def test_shingles_match_python(self, spark, docs):
+        from datacapsule_spark.operators.dedup import shingle_rows
+
+        got = {
+            (r["doc_id"], r["g"]) for r in shingle_rows(docs, n=3).collect()
+        }
+        want = set()
+        for doc_id, text in docs.collect():
+            toks = text.lower().strip().split()
+            for i in range(len(toks) - 2):
+                want.add((doc_id, " ".join(toks[i : i + 3])))
+        assert got == want  # doc 6 (<3 tokens) contributes nothing
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        from datacapsule_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        pairs = {
+            (r["a"], r["b"])
+            for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
+        }
+        assert (0, 2) in pairs  # exact dup always collides
+        assert (0, 1) in pairs  # near dup (8/9 shingle overlap)
+        assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+    def test_ngram_jaccard_exact_values(self, spark, docs):
+        from datacapsule_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "a long, b long"
+        )
+        out = {(r["a"], r["b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(docs, pairs, threshold=0.0).collect()}
+        assert out[(0, 2)] == 1.0
+        # doc0/doc1: 9 shingles each ('the' repeats but shingles distinct),
+        # overlap = 6 of 12 union → 0.5
+        a = "the quick brown fox jumps over the lazy dog".split()
+        b = "the quick brown fox jumps over the lazy cat".split()
+        sa = {" ".join(a[i : i + 3]) for i in range(len(a) - 2)}
+        sb = {" ".join(b[i : i + 3]) for i in range(len(b) - 2)}
+        assert out[(0, 1)] == pytest.approx(len(sa & sb) / len(sa | sb))
+        assert out[(0, 3)] == 0.0
+
+    def test_simhash_dup_equal_and_near(self, spark, docs):
+        from datacapsule_spark.operators.dedup import simhash64
+
+        sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+        assert sh[0] == sh[2]  # identical text → identical simhash
+        ham01 = bin(sh[0] ^ sh[1]).count("1")
+        ham03 = bin(sh[0] ^ sh[3]).count("1")
+        assert ham01 < ham03  # near dup closer than unrelated
+
+    def test_embedding_cosine_pairs(self, spark):
+        from datacapsule_spark.operators.dedup import embedding_cosine_pairs
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = {(r["a"], r["b"]): r["cos"] for r in
+               embedding_cosine_pairs(df, threshold=0.95).collect()}
+        assert set(out) == {(0, 1)}
+        want = np.dot([1, 0, 0], [0.999, 0.04, 0]) / np.linalg.norm([0.999, 0.04, 0])
+        assert out[(0, 1)] == pytest.approx(want, abs=1e-9)
+
+
+class TestText:
+    def test_language_id(self, spark, docs):
+        from datacapsule_spark.operators.text import language_id
+
+        out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+        assert out[0] == "en"
+        assert out[4] == "de"
+        assert out[5] == "es"
+
+    def test_quality_and_tokens(self, spark, docs):
+        from datacapsule_spark.operators.text import quality_score, token_count
+
+        q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+        assert q[0]["n_tokens"] == 9
+        assert q[0]["punct_ratio"] == 0.0
+        assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)
+        t = {r["doc_id"]: r for r in token_count(docs).collect()}
+        assert t[0]["ws_tokens"] == 9
+        assert t[6]["ws_tokens"] == 1
+
+    def test_fingerprint_order_insensitive(self, spark):
+        from datacapsule_spark.operators.text import fingerprint
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+            "doc_id long, text string",
+        )
+        fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+        want = hashlib.md5("alpha beta gamma".encode()).hexdigest()
+        assert fp[0] == want  # sorted distinct tokens joined by space
+
+
+class TestVector:
+    def _embeddings(self, spark, n=50, dim=16):
+        from datacapsule_spark.vectorize import hash_embed_text
+
+        rows = [
+            (f"e{i}", "entity", "symbol" if i % 2 else "module", f"name{i}",
+             hash_embed_text(f"name{i}", dim).tolist())
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows,
+            "id string, kind string, entity_type string, name string, "
+            "embedding array<float>",
+        )
+
+    def test_cosine_topk_matches_numpy(self, spark):
+        from datacapsule_spark.vectorize import cosine_topk, hash_embed_text
+
+        rows, df = self._embeddings(spark)
+        q = hash_embed_text("name0", 16)
+        got = [(r["id"], r["sim"]) for r in cosine_topk(df, q, k=5).collect()]
+        M = np.array([r[4] for r in rows], dtype=np.float64)
+        sims = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        order = sorted(range(len(rows)), key=lambda i: (-sims[i], rows[i][0]))[:5]
+        want = [(rows[i][0], sims[i]) for i in order]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-6)
+        assert got[0][0] == "e0" and got[0][1] == pytest.approx(1.0)
+
+    def test_cosine_topk_type_filter_before_rank(self, spark):
+        from datacapsule_spark.vectorize import cosine_topk, hash_embed_text
+
+        _, df = self._embeddings(spark)
+        q = hash_embed_text("name1", 16)
+        got = cosine_topk(df, q, k=10, entity_type="symbol").collect()
+        assert len(got) == 10
+        assert all(r["entity_type"] == "symbol" for r in got)
+
+    def test_lsh_bucketed_ann_recall(self, spark):
+        from datacapsule_spark.vectorize import (
+            cosine_topk,
+            hash_embed_text,
+            hyperplane_signatures,
+            lsh_bucketed_topk,
+        )
+
+        _, df = self._embeddings(spark, n=200)
+        q = hash_embed_text("name7", 16)
+        exact = [r["id"] for r in cosine_topk(df, q, k=1).collect()]
+        bucketed = hyperplane_signatures(df, n_planes=6, dim=16)
+        approx = [
+            r["id"]
+            for r in lsh_bucketed_topk(bucketed, q, k=1, n_planes=6).collect()
+        ]
+        # the query IS name7's vector → its own bucket contains it
+        assert exact[0] == "e7" and approx[0] == "e7"
+
+    def test_embed_descriptors_deterministic(self, spark):
+        from datacapsule_spark.vectorize import (
+            embed_descriptors,
+            hash_embed_text,
+            node_descriptors,
+        )
+
+        nodes = spark.createDataFrame(
+            [("sym:A", "symbol", "A", {"k": "v"})],
+            "node_id string, node_type string, name string, attrs map<string,string>",
+        )
+        out = embed_descriptors(node_descriptors(nodes)).collect()
+        assert len(out) == 1
+        text = "entity id: sym:A, type: symbol, name: A"
+        want = hash_embed_text(text).tolist()
+        assert out[0]["embedding"] == pytest.approx(want)
+
+
+class TestMultimodal:
+    def test_media_feature_plumbing(self, spark):
+        from datacapsule_spark.operators.multimodal import (
+            MEDIA,
+            extract_media_features,
+        )
+
+        rows = [
+            ("m1", "image", bytearray(b"\x89PNG fake"), "image/png", 4, 4, None),
+            ("m2", "video", bytearray(b"\x00\x00vid"), "video/mp4", 16, 9, 5000),
+        ]
+        media = spark.createDataFrame(rows, MEDIA)
+        out = {r["media_id"]: r for r in extract_media_features(media).collect()}
+        assert out["m1"]["payload_sha256"] == hashlib.sha256(b"\x89PNG fake").hexdigest()
+        assert out["m1"]["payload_bytes"] == 9
+        assert len(out["m1"]["features"]) == 8
+        h = hashlib.sha256(b"\x89PNG fake").digest()
+        assert out["m1"]["features"][0] == pytest.approx(h[0] / 255.0 - 0.5)
+
+    def test_frame_sample_plan_metadata_only(self, spark):
+        from datacapsule_spark.operators.multimodal import MEDIA, frame_sample_plan
+
+        rows = [("m2", "video", bytearray(b"v"), "video/mp4", 1, 1, 3500)]
+        media = spark.createDataFrame(rows, MEDIA)
+        plan = frame_sample_plan(media, every_ms=1000)
+        assert "payload" not in plan.columns
+        assert [r["sample_ts_ms"] for r in plan.collect()] == [0, 1000, 2000, 3000]
+
+    def test_decode_stub_raises(self):
+        from datacapsule_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"x")
+
+
+class TestTraverse:
+    @pytest.fixture(scope="class")
+    def graph(self, spark):
+        nodes = spark.createDataFrame(
+            [
+                ("repo:r", "repo", "r", None),
+                ("dir:r/src", "dir", "src", None),
+                ("file:r/src/a.py", "file", "a.py", None),
+                ("file:r/src/b.py", "file", "b.py", None),
+                ("sym:X", "symbol", "X", None),
+                ("lang:python", "lang", "python", None),
+            ],
+            "node_id string, node_type string, name string, attrs map<string,string>",
+        )
+        edges = spark.createDataFrame(
+            [
+                ("repo:r", "contains", "dir:r/src", None, None),
+                ("dir:r/src", "contains", "file:r/src/a.py", None, None),
+                ("dir:r/src", "contains", "file:r/src/b.py", None, None),
+                ("file:r/src/a.py", "defines_function", "sym:X", None, None),
+                ("file:r/src/b.py", "calls", "sym:X", None, None),
+                ("file:r/src/a.py", "in_lang", "lang:python", None, None),
+            ],
+            "src string, relation string, dst string, repo string, path string",
+        )
+        return nodes, edges
+
+    def test_bfs_down_to_files(self, spark, graph):
+        from datacapsule_spark.traverse import find_nodes_by_node_type
+
+        nodes, edges = graph
+        starts = spark.createDataFrame(
+            [("q1", "repo:r")], "query_id string, node_id string"
+        )
+        hits = {
+            r["node_id"]
+            for r in find_nodes_by_node_type(nodes, edges, starts, "file").collect()
+        }
+        assert hits == {"file:r/src/a.py", "file:r/src/b.py"}
+
+    def test_bfs_up_to_repo(self, spark, graph):
+        from datacapsule_spark.traverse import find_nodes_by_node_type
+
+        nodes, edges = graph
+        starts = spark.createDataFrame(
+            [("q1", "file:r/src/a.py")], "query_id string, node_id string"
+        )
+        hits = {
+            r["node_id"]
+            for r in find_nodes_by_node_type(nodes, edges, starts, "repo").collect()
+        }
+        assert hits == {"repo:r"}
+
+    def test_batch_bfs_independent_queries(self, spark, graph):
+        from datacapsule_spark.traverse import find_nodes_by_node_type
+
+        nodes, edges = graph
+        starts = spark.createDataFrame(
+            [("qa", "file:r/src/a.py"), ("qb", "file:r/src/b.py")],
+            "query_id string, node_id string",
+        )
+        hits = find_nodes_by_node_type(nodes, edges, starts, "symbol").collect()
+        by_q = {}
+        for r in hits:
+            by_q.setdefault(r["query_id"], set()).add(r["node_id"])
+        assert by_q == {"qa": {"sym:X"}, "qb": {"sym:X"}}
+
+    def test_adjacent_descriptions(self, spark, graph):
+        from datacapsule_spark.traverse import get_adjacent_descriptions
+
+        nodes, edges = graph
+        names = spark.createDataFrame([("sym:X",)], "node_id string")
+        out = get_adjacent_descriptions(nodes, edges, names).collect()
+        assert len(out) == 1
+        assert set(out[0]["descriptions"]) == {"a.py", "b.py"}

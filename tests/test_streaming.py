@@ -1,0 +1,65 @@
+"""Streaming twins: watermarked windowed agg + incremental extraction
+produce batch-identical results (kappa equivalence)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_hourly_counts_stream_equals_batch(spark, tmp_path):
+    from datacapsule_spark.streaming.stream_ops import hourly_event_counts
+
+    src = str(tmp_path / "events_in")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in spark.sql("select * from hourly_mem").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in (
+            events.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_extract_matches_batch(spark, tmp_path, smoke_repos):
+    from datacapsule_spark.extract import extract_triples
+    from datacapsule_spark.streaming.stream_ops import incremental_extract_triples
+
+    in_dir = str(tmp_path / "repos_in")
+    out_dir = str(tmp_path / "triples_out")
+    ck_dir = str(tmp_path / "ck")
+    sample = smoke_repos.limit(50)
+    sample.write.mode("overwrite").parquet(in_dir)
+
+    q = incremental_extract_triples(spark, in_dir, ck_dir, out_dir)
+    q.awaitTermination(180)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(spark.read.parquet(in_dir), salt=False).collect()
+    }
+    assert got == want and len(got) > 0
