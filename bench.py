@@ -77,7 +77,7 @@ def main() -> None:
         from datacapsule_spark.corpus import ensure_corpus
         from datacapsule_spark.pipeline import run_pipeline
 
-        corpus = ensure_corpus("bench")  # 50k synthetic source files
+        corpus = ensure_corpus("bench", spark=spark)  # 50k synthetic source files
         repos = spark.read.parquet(corpus)
         n_files = repos.count()
         work = "/tmp/bench_kg_work"

@@ -73,6 +73,7 @@ def _sha(s: str) -> str:
 
 
 def _gen_python(rng: random.Random, vocab: list[str]) -> str:
+    target = rng.randint(20, 200)  # 20-200 lines (FIXTURES.md F1)
     lines = []
     author = rng.choice(_AUTHORS)
     if rng.random() < 0.7:
@@ -93,24 +94,26 @@ def _gen_python(rng: random.Random, vocab: list[str]) -> str:
             lines.append(f"from {mods[0]} import thing")
     if rng.random() < 0.1:
         lines.append("import ???bad syntax!!!")  # X7 raw-text fallback
-    for _ in range(rng.randint(1, 5)):
-        if rng.random() < 0.3:
+    while len(lines) < target - 2:
+        r = rng.random()
+        if r < 0.2:
             cls = rng.choice(vocab)
             lines.append(f"class {cls}:")
             lines.append("    pass")
-        else:
+        elif r < 0.7:
             fn = rng.choice(vocab)
             lines.append(f"def {fn}(x, y):")
             for _ in range(rng.randint(1, 4)):
                 callee = rng.choice(vocab)
                 lines.append(f"    z = {callee}(x)")
             lines.append("    return z")
-    while len(lines) < 20:
-        lines.append(f"VALUE_{rng.randint(0, 99)} = {rng.randint(0, 1000)}")
+        else:
+            lines.append(f"VALUE_{rng.randint(0, 99)} = {rng.randint(0, 1000)}")
     return "\n".join(lines)
 
 
 def _gen_javascript(rng: random.Random, vocab: list[str]) -> str:
+    target = rng.randint(20, 200)
     lines = [f"// author: {rng.choice(_AUTHORS)}", f"// year: {rng.randint(1995, 2025)}"]
     for _ in range(rng.randint(1, 4)):
         mod = rng.choice(_MODULES[20:])
@@ -118,37 +121,40 @@ def _gen_javascript(rng: random.Random, vocab: list[str]) -> str:
             lines.append(f"import {{ thing }} from '{mod}'")
         else:
             lines.append(f"const {mod} = require('{mod}')")
-    for _ in range(rng.randint(1, 4)):
+    while len(lines) < target - 2:
         r = rng.random()
         name = rng.choice(vocab)
-        if r < 0.3:
+        if r < 0.2:
             lines.append(f"class {name} {{")
             lines.append("}")
-        elif r < 0.6:
+        elif r < 0.5:
             lines.append(f"function {name}(x) {{")
             lines.append(f"  return {rng.choice(vocab)}(x)")
             lines.append("}")
-        else:
+        elif r < 0.8:
             lines.append(f"const {name} = (x) => {rng.choice(vocab)}(x)")
-    while len(lines) < 20:
-        lines.append(f"// filler {rng.randint(0, 999)}")
+        else:
+            lines.append(f"// filler {rng.randint(0, 999)}")
     return "\n".join(lines)
 
 
 def _gen_java(rng: random.Random, vocab: list[str]) -> str:
+    target = rng.randint(20, 200)
     lines = [f"// author: {rng.choice(_AUTHORS)}", f"// year: {rng.randint(1995, 2025)}"]
     for _ in range(rng.randint(1, 3)):
         lines.append(f"import {rng.choice(_MODULES[17:20])};")
     cls = rng.choice(vocab)
     lines.append(f"public class {cls} {{")
-    for _ in range(rng.randint(1, 4)):
-        fn = rng.choice(vocab)
-        lines.append(f"    public int {fn}(int x) {{")
-        lines.append(f"        return {rng.choice(vocab)}(x);")
-        lines.append("    }")
+    while len(lines) < target - 1:
+        r = rng.random()
+        if r < 0.6:
+            fn = rng.choice(vocab)
+            lines.append(f"    public int {fn}(int x) {{")
+            lines.append(f"        return {rng.choice(vocab)}(x);")
+            lines.append("    }")
+        else:
+            lines.append(f"    // filler {rng.randint(0, 999)}")
     lines.append("}")
-    while len(lines) < 20:
-        lines.append(f"// filler {rng.randint(0, 999)}")
     return "\n".join(lines)
 
 
@@ -157,26 +163,30 @@ _GEN = {"python": _gen_python, "javascript": _gen_javascript, "java": _gen_java}
 HOT_REPOS = ("org0/repo0", "org1/repo1")
 
 
+def generate_row(i: int, vocab: list[str], seed: int = SEED):
+    """Row i of the corpus — pure function of (i, seed), so generation
+    parallelizes over any partitioning of the id range (no shared
+    per-repo counter; path uniqueness comes from the global index)."""
+    rng = random.Random((seed << 20) ^ i)
+    if rng.random() < 0.4:  # hot-repo skew (FIXTURES F1)
+        repo = HOT_REPOS[i % 2]
+    else:
+        r = rng.randint(0, 160)
+        repo = f"org{r % 7}/repo{r % 23}"
+    u = rng.random()
+    lang = "python" if u < 0.7 else ("javascript" if u < 0.85 else "java")
+    ext = {"python": "py", "javascript": "js", "java": "java"}[lang]
+    path = f"src/pkg{i % 13}/mod_{i}.{ext}"
+    commit = _sha(f"{repo}:0")[:40]
+    content = _GEN[lang](rng, vocab)
+    return repo, path, commit, lang, content
+
+
 def generate_rows(n_files: int, seed: int = SEED):
     """Yield (repo, path, commit, lang, content) deterministically."""
     vocab = symbol_vocab()
-    path_counter: dict[str, int] = {}
     for i in range(n_files):
-        rng = random.Random((seed << 20) ^ i)
-        if rng.random() < 0.4:  # hot-repo skew (FIXTURES F1)
-            repo = HOT_REPOS[i % 2]
-        else:
-            r = rng.randint(0, 160)
-            repo = f"org{r % 7}/repo{r % 23}"
-        k = path_counter.get(repo, 0)
-        path_counter[repo] = k + 1
-        u = rng.random()
-        lang = "python" if u < 0.7 else ("javascript" if u < 0.85 else "java")
-        ext = {"python": "py", "javascript": "js", "java": "java"}[lang]
-        path = f"src/pkg{k % 13}/mod_{k}.{ext}"
-        commit = _sha(f"{repo}:0")[:40]
-        content = _GEN[lang](rng, vocab)
-        yield repo, path, commit, lang, content
+        yield generate_row(i, vocab, seed)
 
 
 def write_corpus(out_path: str, n_files: int, seed: int = SEED) -> str:
@@ -194,10 +204,51 @@ def write_corpus(out_path: str, n_files: int, seed: int = SEED) -> str:
     return out_path
 
 
-def ensure_corpus(scale: str = "smoke", base_dir: str = "/root/repo/data") -> str:
-    """Idempotent materialization; scales per FIXTURES.md F1."""
-    n = {"smoke": 500, "correctness": 5000, "bench": 50000}[scale]
-    out = os.path.join(base_dir, f"repos_{scale}.parquet")
+CORPUS_VERSION = 2  # bump when generator semantics change (invalidates cache)
+
+SCALES = {"smoke": 500, "correctness": 5000, "bench": 50000, "scaling": 400000}
+
+
+def write_corpus_spark(
+    spark, out_dir: str, n_files: int, seed: int = SEED, n_partitions: int = 64
+) -> str:
+    """Parallel corpus materialization: spark.range over file ids →
+    mapInPandas(generate_row) → multi-file parquet directory. Many
+    output files → the downstream scan parallelizes (a single 50 MB
+    parquet file is one input split and serializes the read)."""
+    import pandas as pd
+
+    def gen(batches):
+        vocab = symbol_vocab()
+        for pdf in batches:
+            rows = [generate_row(int(i), vocab, seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    (
+        spark.range(0, n_files, 1, n_partitions)
+        .mapInPandas(gen, schema="repo string, path string, commit string, lang string, content string")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ensure_corpus(
+    scale: str = "smoke", base_dir: str = "/root/repo/data", spark=None
+) -> str:
+    """Idempotent materialization; scales per FIXTURES.md F1. Large
+    scales require a SparkSession and produce a parquet directory."""
+    n = SCALES[scale]
+    if spark is not None:
+        out = os.path.join(base_dir, f"repos_{scale}_v{CORPUS_VERSION}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            write_corpus_spark(spark, out, n)
+        return out
+    if n > 100000:
+        raise ValueError(f"corpus scale {scale} needs a SparkSession to generate")
+    out = os.path.join(base_dir, f"repos_{scale}_v{CORPUS_VERSION}.parquet")
     if not os.path.exists(out):
         write_corpus(out, n)
     return out

@@ -83,10 +83,10 @@ def find_nodes_by_node_type(
         return start_nodes.limit(0)
     target_rank = target_rank_row["rank"]
 
-    bedges = bidirectional_edges(edges)
+    # materialized once per traversal; reused every hop
+    bedges = bidirectional_edges(edges).localCheckpoint(eager=False)
 
     frontier = start_nodes.select("query_id", "node_id").distinct()
-    visited = frontier
     hits = (
         frontier.join(
             typed.where(F.col("node_type") == target_type), "node_id", "inner"
@@ -98,6 +98,10 @@ def find_nodes_by_node_type(
         .groupBy("query_id")
         .agg(F.min("start_rank").alias("start_rank"))
     )
+
+    # visited kept as a list of checkpointed frontiers: the anti-join
+    # target tolerates duplicates, so no per-round distinct shuffle
+    visited_frontiers = [frontier]
 
     for _ in range(max_hops):
         expanded = (
@@ -117,14 +121,17 @@ def find_nodes_by_node_type(
             )
             .select("query_id", "node_id", "node_type")
         )
+        visited = visited_frontiers[0]
+        for vf in visited_frontiers[1:]:
+            visited = visited.union(vf)
         frontier = (
             expanded.select("query_id", "node_id")
             .join(visited, ["query_id", "node_id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # truncate lineage + terminate check
         )
         if frontier.isEmpty():
             break
-        visited = visited.union(frontier).distinct()
+        visited_frontiers.append(frontier)
         hits = hits.union(
             expanded.where(F.col("node_type") == target_type).select(
                 "query_id", "node_id"
