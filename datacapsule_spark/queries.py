@@ -241,6 +241,46 @@ def events_lag_delta(spark, sf_dir):
 # Dedup suite (training-data pipeline operators) over `documents`
 # --------------------------------------------------------------------------
 
+def events_json_extract(spark, sf_dir):
+    """F12: JSON payload extraction (to_json/from_json round-trip of
+    app.py:298-316 re-expressed as get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .where(F.col("k") > 50)
+        .select("event_id", "event_type", "k")
+    )
+
+
+def except_lapsed_customers(spark, sf_dir):
+    """Set difference: customers with any order EXCEPT customers with a
+    1998 order (exceptAll → EXCEPT ALL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+    recent = (
+        c.join(
+            o.where(F.col("o_orderdate") >= F.lit("1998-01-01")),
+            c.c_custkey == o.o_custkey,
+            "left_semi",
+        ).select("c_custkey", "c_name")
+    )
+    return with_orders.exceptAll(recent)
+
+
+def intersect_both_segments(spark, sf_dir):
+    """Set intersection: nations having BUILDING customers ∩ nations
+    having MACHINERY customers."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    a = j.where(F.col("c_mktsegment") == "BUILDING").select("n_name")
+    b = j.where(F.col("c_mktsegment") == "MACHINERY").select("n_name")
+    return a.intersect(b)
+
+
 def dedup_exact_docs(spark, sf_dir):
     from .operators.dedup import exact_dedup
 
@@ -521,6 +561,9 @@ QUERIES = {
     "distinct_parts_per_flag": distinct_parts_per_flag,
     "events_hourly": events_hourly,
     "events_lag_delta": events_lag_delta,
+    "events_json_extract": events_json_extract,
+    "except_lapsed_customers": except_lapsed_customers,
+    "intersect_both_segments": intersect_both_segments,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
@@ -688,6 +731,35 @@ FROM (
            AS prev_value
   FROM events
 ) WHERE prev_value IS NOT NULL
+"""
+)
+
+_o("events_json_extract")(
+    """
+SELECT event_id, event_type, json_extract_string(props, '$.k')::INTEGER AS k
+FROM events WHERE json_extract_string(props, '$.k')::INTEGER > 50
+"""
+)
+
+_o("except_lapsed_customers")(
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+EXCEPT ALL
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01')
+"""
+)
+
+_o("intersect_both_segments")(
+    """
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'MACHINERY'
 """
 )
 
