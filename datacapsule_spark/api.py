@@ -1,0 +1,161 @@
+"""Serving facade: the reference's agent-tool surface over Spark tables.
+
+One class, same tool names and semantics as the reference's DSPy ReAct
+toolset (dspy_inference.py:37-154) and NL2SQL envelope
+(dspy_query_db.py:54-158), so a user of the reference can switch
+engines and keep their call sites:
+
+- find_nodes_by_node_type      (dspy_inference.py:37-62  → G1)
+- batch_find_nodes_by_node_type(dspy_inference.py:64-78  → G2; the
+  reference passes the whole list where one node was meant — bug not
+  replicated, each start node is traversed independently)
+- get_unique_vector_query_results (dspy_inference.py:80-123 → G7,
+  filter-before-rank fix documented in SURVEY §2.8)
+- get_node_attribute           (dspy_inference.py:125-133 → G3)
+- get_adjacent_node_descriptions (dspy_inference.py:134-142 → G4)
+- nodes_count                  (dspy_inference.py:144-154 → A1)
+- query_database               (dspy_query_db.py:54-158 → S5; the LLM
+  NL→SQL step stays at the driver — this engine executes the SQL with
+  the same markdown-fence stripping and result envelope)
+
+The X5 ReAct loop itself is LLM orchestration, not engine code; these
+are the engine entry points it calls.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .traverse import find_nodes_by_node_type as _bfs
+from .traverse import get_adjacent_descriptions
+from .vectorize import cosine_topk, hash_embed_text
+
+
+class DatacapsuleAPI:
+    """Query layer over a materialized warehouse (nodes/edges parquet
+    from pipeline.run_pipeline + optional embeddings)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes: DataFrame,
+        edges: DataFrame,
+        embeddings: DataFrame | None = None,
+    ):
+        self.spark = spark
+        # serving caches the graph, mirroring the reference's in-RAM
+        # load (react_tools.py:45-65) — but distributed, not driver-RAM
+        self.nodes = nodes.cache()
+        self.edges = edges.cache()
+        self.embeddings = embeddings
+
+    @classmethod
+    def from_warehouse(cls, spark: SparkSession, base_dir: str) -> "DatacapsuleAPI":
+        nodes = spark.read.parquet(f"{base_dir}/nodes")
+        edges = spark.read.parquet(f"{base_dir}/edges")
+        return cls(spark, nodes, edges)
+
+    # ------------------------------------------------------ graph tools
+
+    def find_nodes_by_node_type(self, start_node: str, node_type: str) -> dict:
+        """Tool 1: nodes of `node_type` reachable from `start_node`."""
+        starts = self.spark.createDataFrame(
+            [("q", start_node)], "query_id string, node_id string"
+        )
+        hits = _bfs(self.nodes, self.edges, starts, node_type)
+        names = sorted(r["node_id"] for r in hits.collect())
+        return {"nodes_count": len(names), "nodes": names}
+
+    def batch_find_nodes_by_node_type(
+        self, start_nodes: list[str], node_type: str
+    ) -> dict:
+        """Tool 2: one traversal DAG for many starts (set-oriented)."""
+        starts = self.spark.createDataFrame(
+            [(s, s) for s in start_nodes], "query_id string, node_id string"
+        )
+        hits = _bfs(self.nodes, self.edges, starts, node_type)
+        out: dict[str, list[str]] = {s: [] for s in start_nodes}
+        for r in hits.collect():
+            out[r["query_id"]].append(r["node_id"])
+        return {s: {"nodes_count": len(v), "nodes": sorted(v)} for s, v in out.items()}
+
+    def get_node_attribute(self, node_id: str) -> dict | None:
+        """Tool 4: full attr dict of one node."""
+        row = self.nodes.where(F.col("node_id") == node_id).first()
+        if row is None:
+            return None
+        d = row.asDict()
+        d["attrs"] = dict(d.get("attrs") or {})
+        return d
+
+    def get_adjacent_node_descriptions(self, names: list[str]) -> list[str]:
+        """Tool 5: distinct 1-hop neighbor names for the given nodes."""
+        df = self.spark.createDataFrame([(n,) for n in names], "node_id string")
+        rows = get_adjacent_descriptions(self.nodes, self.edges, df).collect()
+        seen: list[str] = []
+        for r in rows:
+            for d in r["descriptions"]:
+                if d not in seen:
+                    seen.append(d)
+        return sorted(seen)
+
+    def nodes_count(self, node_type: str | None = None) -> int:
+        """Tool 6."""
+        df = self.nodes
+        if node_type is not None:
+            df = df.where(F.col("node_type") == node_type)
+        return df.count()
+
+    # ----------------------------------------------------- vector tool
+
+    def get_unique_vector_query_results(
+        self,
+        query_text: str,
+        node_type: str | None = None,
+        top_k: int = 1,
+        better_than_threshold: float = 0.7,
+    ) -> list[dict]:
+        """Tool 3: embed the query, cosine-score, filter type+threshold
+        BEFORE ranking (the reference truncates to k=100 first,
+        react_tools.py:313-316 — deliberate fix), return top_k."""
+        if self.embeddings is None:
+            raise ValueError("no embeddings table attached")
+        q = hash_embed_text(query_text, dim=len(self.embeddings.first()["embedding"]))
+        rows = cosine_topk(
+            self.embeddings, q, k=top_k, entity_type=node_type,
+            threshold=better_than_threshold,
+        ).collect()
+        return [
+            {"id": r["id"], "entity_type": r["entity_type"], "name": r["name"],
+             "similarity": float(r["sim"])}
+            for r in rows
+        ]
+
+    # -------------------------------------------------------- SQL tool
+
+    def query_database(self, sql: str) -> dict:
+        """S5/X4 contract: execute (possibly LLM-generated) SQL against
+        the registered tables; same fence-strip (dspy_query_db.py:
+        117-120) and result envelope (:141-158) as the reference."""
+        cleaned = re.sub(r"```sql\s*", "", sql)
+        cleaned = re.sub(r"```\s*$", "", cleaned.strip())
+        try:
+            df = self.spark.sql(cleaned)
+            results = [r.asDict(recursive=True) for r in df.collect()]
+            return {
+                "success": True,
+                "generated_sql": cleaned,
+                "results": results,
+                "row_count": len(results),
+            }
+        except Exception as e:  # noqa: BLE001 — envelope contract
+            return {"success": False, "generated_sql": cleaned, "error": str(e)}
+
+    def register_tables(self, tables: dict[str, DataFrame]) -> None:
+        """Expose DataFrames to query_database (SQL views), including
+        the 4-table relational layer from materialize.build_relational."""
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)

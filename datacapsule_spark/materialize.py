@@ -163,6 +163,51 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
 
 # ----------------------------------------------------------------- sinks
 
+def write_graphml(
+    nodes: DataFrame, edges: DataFrame, path: str, max_nodes: int = 200_000
+) -> str:
+    """GraphML sink — format parity with the reference's
+    nx.write_graphml (tools/entity_extraction.py:252-255; attr keys
+    d0/d6 mirror graph_data_new/graph_entity_relation_detailed.graphml).
+
+    GraphML is a single-document XML format, inherently driver-side:
+    this collects, so it is guarded to graphs that fit the driver
+    (serving/debug exports). The distributed sink is write_graph.
+    """
+    import xml.sax.saxutils as sx
+
+    n = nodes.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"GraphML export is driver-side; {n} nodes > guard {max_nodes}. "
+            "Use write_graph (partitioned parquet) at scale."
+        )
+    lines = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '  <key id="d0" for="node" attr.name="node_type" attr.type="string"/>',
+        '  <key id="d1" for="node" attr.name="name" attr.type="string"/>',
+        '  <key id="d6" for="edge" attr.name="relation" attr.type="string"/>',
+        '  <graph edgedefault="directed">',
+    ]
+    for r in nodes.select("node_id", "node_type", "name").toLocalIterator():
+        nid = sx.escape(r["node_id"], {'"': "&quot;"})
+        lines.append(f'    <node id="{nid}">')
+        lines.append(f"      <data key=\"d0\">{sx.escape(r['node_type'])}</data>")
+        lines.append(f"      <data key=\"d1\">{sx.escape(r['name'] or '')}</data>")
+        lines.append("    </node>")
+    for r in edges.select("src", "relation", "dst").toLocalIterator():
+        s = sx.escape(r["src"], {'"': "&quot;"})
+        d = sx.escape(r["dst"], {'"': "&quot;"})
+        lines.append(f'    <edge source="{s}" target="{d}">')
+        lines.append(f"      <data key=\"d6\">{sx.escape(r['relation'])}</data>")
+        lines.append("    </edge>")
+    lines += ["  </graph>", "</graphml>", ""]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    return path
+
+
 def write_graph(
     nodes: DataFrame,
     edges: DataFrame,

@@ -109,15 +109,21 @@ def find_nodes_by_node_type(
             .select("query_id", F.col("to_id").alias("node_id"))
             .distinct()
         )
-        # rank-monotone pruning: keep nodes moving toward the target rank
+        # rank-monotone pruning: keep ranks inside [start, target] (or
+        # [target, start] going up) — the cap at target_rank is what
+        # stops a downward walk from passing THROUGH shared deeper
+        # nodes (e.g. a symbol used by two repos) and re-ascending into
+        # a different subtree (react_tools.py:158-176 direction rules)
         expanded = (
             expanded.join(typed, "node_id")
             .join(F.broadcast(start_ranks), "query_id")
             .where(
                 F.when(
                     F.lit(target_rank) < F.col("start_rank"),
-                    F.col("rank") <= F.col("start_rank"),
-                ).otherwise(F.col("rank") >= F.col("start_rank"))
+                    F.col("rank").between(F.lit(target_rank), F.col("start_rank")),
+                ).otherwise(
+                    F.col("rank").between(F.col("start_rank"), F.lit(target_rank))
+                )
             )
             .select("query_id", "node_id", "node_type")
         )

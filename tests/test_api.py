@@ -1,0 +1,111 @@
+"""Serving facade parity tests: the reference's six agent tools + the
+NL2SQL envelope, over a pipeline-built warehouse."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, smoke_repos, tmp_path_factory):
+    from datacapsule_spark.pipeline import run_pipeline
+
+    work = str(tmp_path_factory.mktemp("api_wh"))
+    return run_pipeline(spark, smoke_repos, work, use_lsh=False)
+
+
+@pytest.fixture(scope="module")
+def api(spark, warehouse):
+    from datacapsule_spark.api import DatacapsuleAPI
+    from datacapsule_spark.vectorize import embed_descriptors, node_descriptors
+
+    emb = embed_descriptors(node_descriptors(warehouse["nodes"]))
+    return DatacapsuleAPI(spark, warehouse["nodes"], warehouse["edges"], emb)
+
+
+def test_find_nodes_by_node_type(api):
+    out = api.find_nodes_by_node_type("repo:org0/repo0", "file")
+    assert out["nodes_count"] > 0
+    assert all(n.startswith("file:org0/repo0/") for n in out["nodes"])
+    assert out["nodes_count"] == len(out["nodes"])
+
+
+def test_batch_find_independent(api):
+    out = api.batch_find_nodes_by_node_type(
+        ["repo:org0/repo0", "repo:org1/repo1"], "file"
+    )
+    a = set(out["repo:org0/repo0"]["nodes"])
+    b = set(out["repo:org1/repo1"]["nodes"])
+    assert a and b and not (a & b)  # reference bug (shared list) not replicated
+
+
+def test_get_node_attribute(api):
+    d = api.get_node_attribute("lang:python")
+    assert d["node_type"] == "lang" and d["name"] == "python"
+    assert api.get_node_attribute("nope:xyz") is None
+
+
+def test_adjacent_descriptions_and_count(api):
+    descs = api.get_adjacent_node_descriptions(["lang:python"])
+    assert descs and all(isinstance(d, str) for d in descs)
+    assert api.nodes_count("lang") == 3
+    assert api.nodes_count() > 1000
+
+
+def test_vector_tool_threshold_and_type(api):
+    hits = api.get_unique_vector_query_results(
+        "entity id: lang:python, type: lang, name: python",
+        node_type="lang", top_k=3, better_than_threshold=0.99,
+    )
+    # the query text IS lang:python's descriptor → similarity 1.0
+    assert hits and hits[0]["id"] == "lang:python"
+    assert hits[0]["similarity"] == pytest.approx(1.0)
+    assert all(h["entity_type"] == "lang" for h in hits)
+
+
+def test_query_database_envelope(spark, api, warehouse):
+    api.register_tables(
+        {"entities": warehouse["entities"], "edges_v": warehouse["edges"]}
+    )
+    ok = api.query_database(
+        "```sql\nSELECT kind, count(*) AS n FROM entities GROUP BY kind\n```"
+    )
+    assert ok["success"] and ok["row_count"] == 1
+    assert ok["results"][0]["kind"] == "file"
+    bad = api.query_database("SELECT * FROM no_such_table")
+    assert not bad["success"] and "error" in bad
+
+
+def test_graphml_roundtrip(spark, warehouse, tmp_path):
+    from datacapsule_spark.materialize import write_graphml
+
+    nodes = warehouse["nodes"].limit(0)  # build a tiny deterministic graph
+    small_nodes = spark.createDataFrame(
+        [("a", "repo", "a", None), ("b", "dir", "b", None)],
+        "node_id string, node_type string, name string, attrs map<string,string>",
+    )
+    small_edges = spark.createDataFrame(
+        [("a", "contains", "b", None, None)],
+        "src string, relation string, dst string, repo string, path string",
+    )
+    path = str(tmp_path / "g.graphml")
+    write_graphml(small_nodes, small_edges, path)
+    root = ET.parse(path).getroot()
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    graph = root.find("g:graph", ns)
+    assert graph.get("edgedefault") == "directed"
+    assert len(graph.findall("g:node", ns)) == 2
+    assert len(graph.findall("g:edge", ns)) == 1
+
+
+def test_graphml_guard(spark, warehouse, tmp_path):
+    from datacapsule_spark.materialize import write_graphml
+
+    with pytest.raises(ValueError, match="driver-side"):
+        write_graphml(
+            warehouse["nodes"], warehouse["edges"],
+            str(tmp_path / "x.graphml"), max_nodes=10,
+        )

@@ -315,6 +315,40 @@ class TestTraverse:
             by_q.setdefault(r["query_id"], set()).add(r["node_id"])
         assert by_q == {"qa": {"sym:X"}, "qb": {"sym:X"}}
 
+    def test_bfs_does_not_cross_repos_via_shared_symbol(self, spark):
+        """Regression: a downward walk must not pass THROUGH a deeper
+        shared node (symbol used by two repos) and re-ascend into the
+        other repo's files — the rank cap at target_rank pins this."""
+        from datacapsule_spark.traverse import find_nodes_by_node_type
+
+        nodes = spark.createDataFrame(
+            [
+                ("repo:r1", "repo", "r1", None),
+                ("repo:r2", "repo", "r2", None),
+                ("file:r1/a.py", "file", "a.py", None),
+                ("file:r2/b.py", "file", "b.py", None),
+                ("sym:Shared", "symbol", "Shared", None),
+            ],
+            "node_id string, node_type string, name string, attrs map<string,string>",
+        )
+        edges = spark.createDataFrame(
+            [
+                ("repo:r1", "contains", "file:r1/a.py", None, None),
+                ("repo:r2", "contains", "file:r2/b.py", None, None),
+                ("file:r1/a.py", "calls", "sym:Shared", None, None),
+                ("file:r2/b.py", "calls", "sym:Shared", None, None),
+            ],
+            "src string, relation string, dst string, repo string, path string",
+        )
+        starts = spark.createDataFrame(
+            [("q", "repo:r1")], "query_id string, node_id string"
+        )
+        hits = {
+            r["node_id"]
+            for r in find_nodes_by_node_type(nodes, edges, starts, "file").collect()
+        }
+        assert hits == {"file:r1/a.py"}
+
     def test_adjacent_descriptions(self, spark, graph):
         from datacapsule_spark.traverse import get_adjacent_descriptions
 
