@@ -94,15 +94,23 @@ def connected_components(
 
 
 def apply_canonical(
-    df: DataFrame, mapping: DataFrame, cols: list[str]
+    df: DataFrame, mapping: DataFrame, cols: list[str], broadcast: bool = True
 ) -> DataFrame:
     """Rewrite id columns through the canonical mapping (left join +
-    coalesce — ids not in any component map to themselves)."""
+    coalesce — ids not in any component map to themselves).
+
+    The mapping is the alias dictionary: O(distinct aliased names),
+    orders of magnitude smaller than the triple stream — broadcast it
+    so the rewrite is map-side (no shuffle of df). Pass broadcast=False
+    only if the alias map outgrows executor memory.
+    """
     out = df
     for c in cols:
         m = mapping.select(
             F.col("node_id").alias(c), F.col("canonical_id").alias(f"_canon_{c}")
         )
+        if broadcast:
+            m = F.broadcast(m)
         out = (
             out.join(m, c, "left")
             .withColumn(c, F.coalesce(F.col(f"_canon_{c}"), F.col(c)))

@@ -20,7 +20,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class StageTracker:
@@ -46,12 +45,8 @@ class StageTracker:
 
     def materialize(self, stage: str, df_thunk, partition_by: list[str] | None = None) -> DataFrame:
         """Run `df_thunk()` and persist its result as the stage boundary,
-        unless the stage already completed (resume path).
-
-        Per-partition metrics are collected via a
-        spark_partition_id groupBy on the materialized output — one
-        extra cheap scan of the stage output, no extra shuffle of the
-        main data path.
+        unless the stage already completed (resume path). Per-partition
+        lineage comes from the written parquet footers (no data scan).
         """
         if self.is_done(stage):
             return self.load(stage)
@@ -64,33 +59,43 @@ class StageTracker:
         writer.parquet(out)
         result = self.spark.read.parquet(out)
         wall_ms = (time.time() - t0) * 1000.0
-        # per-partition output-row metrics
-        pp = (
-            result.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        lineage_rows = [
-            {
-                "run_id": self.run_id,
-                "stage": stage,
-                "partition_id": int(r["_pid"]),
-                "input_rows": -1,
-                "output_rows": int(r["rows"]),
-                "wall_ms": wall_ms,
-            }
-            for r in pp
-        ] or [
-            {
-                "run_id": self.run_id,
-                "stage": stage,
-                "partition_id": 0,
-                "input_rows": -1,
-                "output_rows": 0,
-                "wall_ms": wall_ms,
-            }
-        ]
+        # per-partition lineage from the written files themselves: one
+        # parquet file = one output partition; row counts come from the
+        # parquet footers (no data scan — previously this re-scanned
+        # every stage output, ~10 extra full passes per pipeline run).
+        # On a real cluster the same numbers come from task-level write
+        # metrics; footers are the single-node equivalent.
+        import pyarrow.parquet as pq
+
+        lineage_rows = []
+        pid = 0
+        for root, _dirs, files in os.walk(out):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                n_rows = pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+                lineage_rows.append(
+                    {
+                        "run_id": self.run_id,
+                        "stage": stage,
+                        "partition_id": pid,
+                        "input_rows": -1,
+                        "output_rows": int(n_rows),
+                        "wall_ms": wall_ms,
+                    }
+                )
+                pid += 1
+        if not lineage_rows:
+            lineage_rows = [
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "partition_id": 0,
+                    "input_rows": -1,
+                    "output_rows": 0,
+                    "wall_ms": wall_ms,
+                }
+            ]
         with open(os.path.join(self._stage_dir(stage), "lineage.jsonl"), "w") as f:
             for row in lineage_rows:
                 f.write(json.dumps(row) + "\n")

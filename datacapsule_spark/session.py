@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # snappy over zstd: this workload is CPU-bound, not disk-bound
+        # (A/B at 16 cores: snappy 44.5s/432MB vs zstd 49.0s/244MB for
+        # the same extract+write) — buy CPU back, spend disk
+        .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
