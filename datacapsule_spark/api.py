@@ -159,3 +159,17 @@ class DatacapsuleAPI:
         the 4-table relational layer from materialize.build_relational."""
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
+
+    def describe_schema(self) -> dict[str, list[dict]]:
+        """S8: enumerate registered tables + columns — the schema
+        payload the reference feeds its NL→SQL prompt
+        (dspy_query_db.py:70-95, sqlite_master + PRAGMA table_info)."""
+        out: dict[str, list[dict]] = {}
+        for t in self.spark.catalog.listTables():
+            if t.tableType != "TEMPORARY" and t.catalog is None:
+                continue
+            out[t.name] = [
+                {"name": c.name, "type": c.dataType}
+                for c in self.spark.catalog.listColumns(t.name)
+            ]
+        return out
