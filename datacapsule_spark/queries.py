@@ -237,6 +237,99 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+def parts_above_brand_avg(spark, sf_dir):
+    """Correlated-aggregate shape: parts priced above their brand's
+    average (window-avg formulation; Catalyst plans one shuffle)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+def pivot_order_status(spark, sf_dir):
+    """Conditional pivot: order counts per priority × status as columns."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+def monthly_revenue(spark, sf_dir):
+    """Date bucketing time series: revenue per calendar month."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def segment_price_quartiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (median + p90)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+def user_event_sequences(spark, sf_dir):
+    """Per-user ordered event-type sequence (sessionization precursor):
+    sort_array over collected (ts, type) structs → concat for
+    engine-portable compare."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "|",
+            ).alias("sequence"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return seq
+
+
+def dedup_keep_docs(spark, sf_dir):
+    """The actual dedup operator output: the surviving corpus (one doc
+    per exact-content group, min doc_id wins)."""
+    from .operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+def string_projection(spark, sf_dir):
+    """String scalar functions: upper/substring/length/replace."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("upper_name"),
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.length("n_name").alias("name_len"),
+        F.regexp_replace("n_name", "[AEIOU]", "_").alias("devoweled"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup suite (training-data pipeline operators) over `documents`
 # --------------------------------------------------------------------------
@@ -564,6 +657,13 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "except_lapsed_customers": except_lapsed_customers,
     "intersect_both_segments": intersect_both_segments,
+    "parts_above_brand_avg": parts_above_brand_avg,
+    "pivot_order_status": pivot_order_status,
+    "monthly_revenue": monthly_revenue,
+    "segment_price_quartiles": segment_price_quartiles,
+    "user_event_sequences": user_event_sequences,
+    "dedup_keep_docs": dedup_keep_docs,
+    "string_projection": string_projection,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
@@ -767,6 +867,72 @@ _o("dedup_exact_docs")(
     """
 SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+)
+
+_o("parts_above_brand_avg")(
+    """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+) WHERE p_retailprice > brand_avg
+"""
+)
+
+_o("pivot_order_status")(
+    """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+)
+
+_o("monthly_revenue")(
+    """
+SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY 1, 2
+"""
+)
+
+_o("segment_price_quartiles")(
+    """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+)
+
+_o("user_event_sequences")(
+    """
+SELECT user_id,
+       array_to_string(
+         list(event_type ORDER BY ts ASC, event_id ASC), '|') AS sequence,
+       count(*) AS n_events
+FROM events WHERE user_id < 50 GROUP BY user_id
+"""
+)
+
+_o("dedup_keep_docs")(
+    """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+)
+
+_o("string_projection")(
+    """
+SELECT n_nationkey, upper(n_name) AS upper_name,
+       substring(n_name, 1, 3) AS prefix3,
+       length(n_name) AS name_len,
+       regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled
+FROM nation
 """
 )
 
