@@ -94,6 +94,11 @@ def main() -> None:
         "--compose", nargs=2, metavar=("N_JSON", "4N_JSON"), default=None,
         help="skip running; compose BASELINE.md from two level-JSON files",
     )
+    ap.add_argument(
+        "--repeats", type=int, default=2,
+        help="runs per level; best throughput wins (damps noisy-neighbor "
+        "variance — identical fresh-JVM runs vary ±40%% on this host)",
+    )
     args = ap.parse_args()
 
     if args.compose:
@@ -123,14 +128,20 @@ def main() -> None:
         return
 
     results = {}
-    for cpus in (4, 16):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--level", str(cpus), "--corpus", corpus],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    for rep in range(max(args.repeats, 1)):
+        # alternate levels within each repetition so host-condition
+        # drift hits both levels, not one
+        for cpus in (4, 16):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--level", str(cpus), "--corpus", corpus],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            prev = results.get(cpus)
+            if prev is None or r["extract_triples_per_sec"] > prev["extract_triples_per_sec"]:
+                results[cpus] = r
+            print(f"# rep{rep} local[{cpus}]: {r}", file=sys.stderr)
 
     _finish(results[4], results[16])
 
@@ -151,7 +162,9 @@ def _finish(r8: dict, r32: dict) -> None:
     md = f"""# BENCH — scaling evidence (north rule)
 
 Same job, same input ({r8['files']} synthetic source files,
-{r8['triples']} raw triples), two parallelism levels in fresh JVMs.
+{r8['triples']} raw triples), two parallelism levels in fresh JVMs,
+best of N alternating repetitions per level (identical runs vary ±40%
+on this shared-host VM; alternation + best-of damps the noise).
 local[4] stands in for N executors, local[16] for 4N (no real cluster
 in this sandbox — see BASELINE.md). 4/16 rather than 8/32 because this
 VM's per-core throughput drops ~40% at full 32-core occupancy (pure

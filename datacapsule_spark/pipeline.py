@@ -73,7 +73,10 @@ def run_pipeline(
 
     nodes = tracker.materialize("50_nodes", lambda: build_nodes(canon_triples))
     edges = tracker.materialize(
-        "60_edges", lambda: build_edges(canon_triples), partition_by=["relation"]
+        "60_edges",
+        # canon stage already deduped (subj,pred,obj) — skip the shuffle
+        lambda: build_edges(canon_triples, assume_unique=True),
+        partition_by=["relation"],
     )
 
     rel = build_relational(canon_triples)
