@@ -1,0 +1,81 @@
+"""Plan-regression tests: the physical properties the 100 TB design
+depends on, asserted per query (plans/audit.py). A green result with a
+regressed plan fails HERE, not in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from datacapsule_spark.plans.audit import assert_plan, explain_report
+from datacapsule_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_pruning(spark):
+    # filter reaches the lineitem scan; only 6 of 11 columns read
+    assert_plan(
+        QUERIES["q1_pricing_summary"](spark, SF),
+        pushed_filters=True,
+        max_scan_columns=6,
+    )
+
+
+def test_q3_broadcasts_and_topk(spark):
+    assert_plan(
+        QUERIES["q3_top_orders"](spark, SF),
+        pushed_filters=True,
+        broadcast_joins_at_least=1,
+        take_ordered=True,
+    )
+
+
+def test_vector_topk_single_scan_topk(spark):
+    r = assert_plan(
+        QUERIES["vector_topk"](spark, SF),
+        pushed_filters=True,
+        take_ordered=True,
+        max_scan_columns=3,
+    )
+    assert r.sort_merge_joins == 0  # no join at all: scan → project → topk
+
+
+def test_filter_valid_events_full_pushdown(spark):
+    r = assert_plan(
+        QUERIES["filter_valid_events"](spark, SF),
+        pushed_filters=True,
+        max_scan_columns=3,
+        max_exchanges=0,  # pure scan+filter+project: no shuffle at all
+    )
+    assert r.wholestage_codegen >= 1
+
+
+def test_extraction_plan_has_no_preshuffle(spark, smoke_repos):
+    from datacapsule_spark.extract import extract_triples
+
+    r = explain_report(extract_triples(smoke_repos))
+    # stateless map on scan partitions: zero exchanges before python
+    assert r.exchanges == 0, r.text
+    assert "MapInPandas" in r.text
+
+
+def test_canonical_rewrite_broadcasts(spark, smoke_repos):
+    from datacapsule_spark.canonicalize import apply_canonical
+    from datacapsule_spark.extract import extract_triples
+
+    mapping = spark.createDataFrame(
+        [("sym:a", "sym:b")], "node_id string, canonical_id string"
+    )
+    out = apply_canonical(extract_triples(smoke_repos), mapping, ["subj", "obj"])
+    r = explain_report(out)
+    assert r.broadcast_joins == 2, r.text
+    assert r.sort_merge_joins == 0, r.text
+
+
+def test_read_repos_contract(spark, smoke_corpus_path):
+    from datacapsule_spark.sources.repos import read_repos
+
+    df = read_repos(spark, smoke_corpus_path)
+    assert set(df.columns) == {"repo", "path", "commit", "lang", "content"}
+    with pytest.raises(Exception):
+        read_repos(spark, "/root/testdata/sf0.001/events.parquet")
