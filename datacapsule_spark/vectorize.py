@@ -180,6 +180,59 @@ def cosine_topk_batch(
     )
 
 
+# ---------------------------------------------- IVF ANN (scale path #2)
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means over the corpus assigns every
+    vector to its nearest centroid list. Returns (indexed_df, centroids)
+    where indexed_df = embeddings + `list_id` (int) — at scale, write
+    it partitioned by list_id so a probe reads only n_probe partitions.
+
+    Uses pyspark.ml KMeans (distributed Lloyd's); centroids come back
+    as a small numpy array for driver-side probe selection.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
+    model = km.fit(feat)
+    indexed = model.transform(feat).drop("_features")
+    centroids = np.array(model.clusterCenters())
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe nearest centroid lists, exact-rank inside them.
+
+    Recall/cost dial: n_probe = n_lists degenerates to brute force;
+    n_probe = 1 scans ~1/n_lists of the corpus. The list_id filter is a
+    partition-pruning predicate when the index is written partitioned
+    by list_id (the IVF layout's entire point at 100 TB).
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    cand = indexed.where(F.col("list_id").isin(probe)).drop("list_id")
+    return cosine_topk(cand, query_vec, k=k)
+
+
 # ------------------------------------------- LSH-bucketed ANN (scale path)
 
 def hyperplane_signatures(

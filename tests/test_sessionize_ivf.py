@@ -1,0 +1,110 @@
+"""Tests: IVF ANN recall vs brute force; stateful sessionization vs the
+pure-Python fold oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestIVF:
+    def test_ivf_topk_matches_brute_force_at_full_probe(self, spark):
+        from datacapsule_spark.vectorize import (
+            cosine_topk,
+            hash_embed_text,
+            ivf_index,
+            ivf_topk,
+        )
+
+        rows = [
+            (f"e{i}", "entity", "t", f"name{i}", hash_embed_text(f"name{i}", 16).tolist())
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id string, kind string, entity_type string, name string, "
+            "embedding array<float>",
+        )
+        indexed, centroids = ivf_index(df, n_lists=8)
+        q = hash_embed_text("name42", 16)
+        exact = [r["id"] for r in cosine_topk(df, q, k=5).collect()]
+        # full probe == brute force
+        full = [r["id"] for r in ivf_topk(indexed, centroids, q, k=5, n_probe=8).collect()]
+        assert full == exact
+        # narrow probe still finds the identical vector (it lives in the
+        # query's own nearest list by construction)
+        narrow = [r["id"] for r in ivf_topk(indexed, centroids, q, k=1, n_probe=1).collect()]
+        assert narrow == ["e42"]
+
+    def test_ivf_assigns_every_vector(self, spark):
+        from datacapsule_spark.vectorize import hash_embed_text, ivf_index
+
+        rows = [(f"e{i}", "k", "t", "n", hash_embed_text(str(i), 8).tolist()) for i in range(50)]
+        df = spark.createDataFrame(
+            rows,
+            "id string, kind string, entity_type string, name string, "
+            "embedding array<float>",
+        )
+        indexed, centroids = ivf_index(df, n_lists=4)
+        assert indexed.where(F.col("list_id").isNull()).count() == 0
+        assert indexed.count() == 50
+        assert centroids.shape == (4, 8)
+
+
+class TestSessionize:
+    def test_fold_oracle(self):
+        from datacapsule_spark.streaming.sessionize import fold_sessions
+
+        ev = [(0, 1.0), (1000, 2.0), (10_000_000, 3.0)]
+        out = fold_sessions(ev, gap_s=60)
+        assert out == [(0, 1000, 2, 3.0), (10_000_000, 10_000_000, 1, 3.0)]
+
+    def test_streaming_sessions_match_oracle(self, spark, tmp_path):
+        from datacapsule_spark.streaming.sessionize import fold_sessions, sessionize
+
+        events = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .where(F.col("user_id") < 20)
+            .select("ts", "user_id", "value")
+        )
+        src = str(tmp_path / "sess_in")
+        events.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            sessionize(stream, gap_s=1800.0)
+            .writeStream.format("memory")
+            .queryName("sessions_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("select * from sessions_mem").collect()
+        }
+        # oracle: fold per user. A session is CLOSED (emitted) if a
+        # later event superseded it, or if the end-of-stream watermark
+        # (global max ts - 1h) passed its event-time timeout (end+gap).
+        import pandas as pd
+
+        pdf = events.toPandas()
+        wm_ms = int(pd.Timestamp(pdf["ts"].max()).value // 10**6) - 3_600_000
+        want = set()
+        for uid, grp in pdf.groupby("user_id"):
+            ev = [
+                (int(pd.Timestamp(t).value // 10**6), float(v))
+                for t, v in zip(grp["ts"], grp["value"])
+            ]
+            folded = fold_sessions(ev, gap_s=1800.0)
+            closed = list(folded[:-1])
+            last = folded[-1]
+            if wm_ms > last[1] + 1_800_000:  # timeout fired before stream end
+                closed.append(last)
+            for s in closed:
+                want.add(
+                    (uid, pd.Timestamp(s[0], unit="ms"), pd.Timestamp(s[1], unit="ms"), s[2])
+                )
+        assert got == want
+        assert len(got) > 0
