@@ -237,6 +237,35 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+def min_price_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: min-per-group correlated subquery as a
+    self-joinable aggregate — cheapest supplier account balance among
+    suppliers of each part (via lineitem)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(s, li.l_suppkey == s.s_suppkey)
+    mins = j.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        j.join(mins, "l_partkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def customers_with_big_order(spark, sf_dir):
+    """Correlated EXISTS with a predicate on the subquery row."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def parts_above_brand_avg(spark, sf_dir):
     """Correlated-aggregate shape: parts priced above their brand's
     average (window-avg formulation; Catalyst plans one shuffle)."""
@@ -657,6 +686,8 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "except_lapsed_customers": except_lapsed_customers,
     "intersect_both_segments": intersect_both_segments,
+    "min_price_supplier_per_part": min_price_supplier_per_part,
+    "customers_with_big_order": customers_with_big_order,
     "parts_above_brand_avg": parts_above_brand_avg,
     "pivot_order_status": pivot_order_status,
     "monthly_revenue": monthly_revenue,
@@ -867,6 +898,29 @@ _o("dedup_exact_docs")(
     """
 SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+)
+
+_o("min_price_supplier_per_part")(
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), j AS (
+  SELECT l_partkey, s_suppkey, s_acctbal
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT l_partkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal
+FROM j
+WHERE s_acctbal = (SELECT min(j2.s_acctbal) FROM j j2
+                   WHERE j2.l_partkey = j.l_partkey)
+"""
+)
+
+_o("customers_with_big_order")(
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """
 )
 
