@@ -40,12 +40,35 @@ def run_pipeline(
     work_dir: str,
     use_lsh: bool = True,
     run_id: str = "run0",
+    dedup_files: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full construction run; returns the materialized DataFrames."""
+    """Full construction run; returns the materialized DataFrames.
+
+    dedup_files=True drops byte-identical file contents before
+    extraction (keep = lexicographically first (repo, path)) — at
+    100 TB vendored/forked copies are a large fraction of any code
+    corpus and extracting them is pure waste. One shuffle on
+    md5(content); extraction cost drops proportionally.
+    """
     tracker = StageTracker(spark, work_dir, run_id)
 
+    if dedup_files:
+        def _dedup():
+            w = F.struct("repo", "path")
+            return (
+                repos.withColumn("_h", F.md5("content"))
+                .withColumn("_k", w)
+                .groupBy("_h")
+                .agg(F.min_by(F.struct("repo", "path", "commit", "lang", "content"), "_k").alias("r"))
+                .select("r.*")
+            )
+
+        source = tracker.materialize("05_dedup_files", _dedup)
+    else:
+        source = repos
+
     triples = tracker.materialize(
-        "10_extract", lambda: extract_triples(repos), partition_by=["pred"]
+        "10_extract", lambda: extract_triples(source), partition_by=["pred"]
     )
 
     # link symbol-type entities only (mirrors the reference linking

@@ -85,6 +85,32 @@ def test_pipeline_resume_identical_output(spark, smoke_repos, tmp_path):
     assert {"10_extract", "30_canonicalize", "60_edges"} <= stages
 
 
+def test_pipeline_file_dedup(spark, smoke_repos, tmp_path):
+    """dedup_files drops byte-identical contents pre-extraction."""
+    from pyspark.sql import functions as F
+
+    dup = smoke_repos.limit(10).select(
+        F.concat(F.lit("dup/"), "repo").alias("repo"),
+        "path", "commit", "lang", "content",
+    )
+    with_dups = smoke_repos.unionByName(dup)
+    out = run_pipeline(
+        spark, with_dups, str(tmp_path / "wd"), use_lsh=False, dedup_files=True
+    )
+    # the 10 duplicated contents collapse: exactly 500 distinct files
+    n_files = (
+        out["triples"].where(F.col("pred") == "has_loc").select("subj").distinct().count()
+    )
+    assert n_files == 500
+    # keep = lexicographically first (repo, path): originals win over "dup/..."?
+    # 'dup/org...' < 'org...' lexicographically, so the dup copies win —
+    # semantics is deterministic min, not original-preference
+    kept_dup = (
+        out["triples"].where(F.col("repo").startswith("dup/")).count()
+    )
+    assert kept_dup > 0
+
+
 def test_pipeline_skips_completed_stages(spark, smoke_repos, tmp_path, monkeypatch):
     work = tmp_path / "work3"
     run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
