@@ -125,6 +125,8 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="work/warehouse directory")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-lsh", action="store_true")
+    ap.add_argument("--dedup-files", action="store_true",
+                    help="drop byte-identical file contents before extraction")
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -137,7 +139,8 @@ def main() -> None:
         else spark.read.parquet(args.input)
     )
     out = run_pipeline(
-        spark, repos, args.output, use_lsh=not args.no_lsh, run_id=args.run_id
+        spark, repos, args.output, use_lsh=not args.no_lsh, run_id=args.run_id,
+        dedup_files=args.dedup_files,
     )
     write_graph(out["nodes"], out["edges"], args.output)
     node_type_histogram(out["nodes"]).show(50, truncate=False)
