@@ -86,58 +86,66 @@ def find_nodes_by_node_type(
     # materialized once per traversal; reused every hop
     bedges = bidirectional_edges(edges).localCheckpoint(eager=False)
 
-    frontier = start_nodes.select("query_id", "node_id").distinct()
+    frontier = (
+        start_nodes.select("query_id", "node_id")
+        .distinct()
+        .join(typed.select("node_id", "rank"), "node_id")
+        .select("query_id", "node_id", "rank")
+    )
     hits = (
         frontier.join(
-            typed.where(F.col("node_type") == target_type), "node_id", "inner"
+            typed.where(F.col("node_type") == target_type).select("node_id"),
+            "node_id",
+            "inner",
         ).select("query_id", "node_id")
     )
     start_ranks = (
-        frontier.join(typed, "node_id")
-        .select("query_id", F.col("rank").alias("start_rank"))
-        .groupBy("query_id")
-        .agg(F.min("start_rank").alias("start_rank"))
+        frontier.groupBy("query_id").agg(F.min("rank").alias("start_rank"))
     )
 
     # visited kept as a list of checkpointed frontiers: the anti-join
     # target tolerates duplicates, so no per-round distinct shuffle
-    visited_frontiers = [frontier]
+    visited_frontiers = [frontier.select("query_id", "node_id")]
 
     for _ in range(max_hops):
+        # per-hop rank monotonicity (react_tools.py:158-176 direction
+        # rules): each hop must move weakly toward the target rank
+        # RELATIVE TO THE CURRENT node, and never past the target.
+        # The target cap is what stops a downward walk from passing
+        # THROUGH shared deeper nodes (a symbol used by two repos) and
+        # re-ascending into a different subtree; the per-hop rule stops
+        # down-then-up wandering inside the allowed range.
         expanded = (
             frontier.join(bedges, frontier.node_id == bedges.from_id)
-            .select("query_id", F.col("to_id").alias("node_id"))
-            .distinct()
-        )
-        # rank-monotone pruning: keep ranks inside [start, target] (or
-        # [target, start] going up) — the cap at target_rank is what
-        # stops a downward walk from passing THROUGH shared deeper
-        # nodes (e.g. a symbol used by two repos) and re-ascending into
-        # a different subtree (react_tools.py:158-176 direction rules)
-        expanded = (
-            expanded.join(typed, "node_id")
+            .select(
+                "query_id",
+                F.col("to_id").alias("node_id"),
+                F.col("rank").alias("cur_rank"),
+            )
+            .join(typed, "node_id")
             .join(F.broadcast(start_ranks), "query_id")
             .where(
                 F.when(
-                    F.lit(target_rank) < F.col("start_rank"),
-                    F.col("rank").between(F.lit(target_rank), F.col("start_rank")),
-                ).otherwise(
-                    F.col("rank").between(F.col("start_rank"), F.lit(target_rank))
+                    F.lit(target_rank) < F.col("start_rank"),  # going up
+                    F.col("rank").between(F.lit(target_rank), F.col("cur_rank")),
+                ).otherwise(  # going down (or same rank)
+                    F.col("rank").between(F.col("cur_rank"), F.lit(target_rank))
                 )
             )
-            .select("query_id", "node_id", "node_type")
+            .groupBy("query_id", "node_id", "node_type")
+            .agg(F.min("rank").alias("rank"))
         )
         visited = visited_frontiers[0]
         for vf in visited_frontiers[1:]:
             visited = visited.union(vf)
         frontier = (
-            expanded.select("query_id", "node_id")
+            expanded.select("query_id", "node_id", "rank")
             .join(visited, ["query_id", "node_id"], "left_anti")
             .localCheckpoint(eager=True)  # truncate lineage + terminate check
         )
         if frontier.isEmpty():
             break
-        visited_frontiers.append(frontier)
+        visited_frontiers.append(frontier.select("query_id", "node_id"))
         hits = hits.union(
             expanded.where(F.col("node_type") == target_type).select(
                 "query_id", "node_id"
