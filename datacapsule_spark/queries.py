@@ -237,6 +237,27 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+def asof_click_last_purchase(spark, sf_dir):
+    """As-of join: for each click event, the user's most recent
+    purchase value at-or-before the click. Right side pre-aggregated
+    to one row per (user, ts) for tie determinism."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, by=["user_id"], ts="ts", value_cols=["pvalue"])
+    return out.select(
+        "event_id", "user_id", F.round("pvalue_asof", 2).alias("last_purchase")
+    )
+
+
 def min_price_supplier_per_part(spark, sf_dir):
     """TPC-H Q2 shape: min-per-group correlated subquery as a
     self-joinable aggregate — cheapest supplier account balance among
@@ -686,6 +707,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "except_lapsed_customers": except_lapsed_customers,
     "intersect_both_segments": intersect_both_segments,
+    "asof_click_last_purchase": asof_click_last_purchase,
     "min_price_supplier_per_part": min_price_supplier_per_part,
     "customers_with_big_order": customers_with_big_order,
     "parts_above_brand_avg": parts_above_brand_avg,
@@ -898,6 +920,20 @@ _o("dedup_exact_docs")(
     """
 SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+)
+
+_o("asof_click_last_purchase")(
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, round(p.pvalue, 2) AS last_purchase
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 )
 

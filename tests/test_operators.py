@@ -103,6 +103,40 @@ class TestDedup:
         assert out[(0, 1)] == pytest.approx(want, abs=1e-9)
 
 
+class TestAsofJoin:
+    def test_backward_inclusive_semantics(self, spark):
+        from datacapsule_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", 100), (2, "u", 200), (3, "u", 50), (4, "v", 100)],
+            "id long, user string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("u", 100, 10.0), ("u", 150, 15.0), ("v", 999, 99.0)],
+            "user string, ts long, val double",
+        )
+        out = {
+            r["id"]: r["val_asof"]
+            for r in asof_join(left, right, ["user"], "ts", ["val"]).collect()
+        }
+        assert out[1] == 10.0   # exact-ts match is inclusive
+        assert out[2] == 15.0   # latest at-or-before 200
+        assert out[3] is None   # nothing at-or-before 50
+        assert out[4] is None   # v's only right row is in the future
+
+    def test_left_rows_preserved(self, spark):
+        from datacapsule_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(i, "u", i * 10) for i in range(20)], "id long, user string, ts long"
+        )
+        right = spark.createDataFrame([("u", 95, 1.0)], "user string, ts long, val double")
+        out = asof_join(left, right, ["user"], "ts", ["val"])
+        assert out.count() == 20
+        matched = out.where(F.col("val_asof").isNotNull()).count()
+        assert matched == 10  # ts in {100..190} ≥ 95
+
+
 class TestText:
     def test_language_id(self, spark, docs):
         from datacapsule_spark.operators.text import language_id
