@@ -237,6 +237,22 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+def range_join_value_bands(spark, sf_dir):
+    """Range join: events assigned to value bands [lo, hi) via the
+    bucketed (scale-path) strategy; per-band aggregates."""
+    from .operators.rangejoin import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bands = spark.createDataFrame(
+        [(i, float(i * 100), float((i + 1) * 100)) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    joined = range_join_bucketed(e, bands, "value", step=100.0)
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
 def asof_click_last_purchase(spark, sf_dir):
     """As-of join: for each click event, the user's most recent
     purchase value at-or-before the click. Right side pre-aggregated
@@ -708,6 +724,7 @@ QUERIES = {
     "except_lapsed_customers": except_lapsed_customers,
     "intersect_both_segments": intersect_both_segments,
     "asof_click_last_purchase": asof_click_last_purchase,
+    "range_join_value_bands": range_join_value_bands,
     "min_price_supplier_per_part": min_price_supplier_per_part,
     "customers_with_big_order": customers_with_big_order,
     "parts_above_brand_avg": parts_above_brand_avg,
@@ -920,6 +937,19 @@ _o("dedup_exact_docs")(
     """
 SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+)
+
+_o("range_join_value_bands")(
+    """
+WITH bands AS (
+  SELECT i::INT AS band_id, (i * 100)::DOUBLE AS lo, ((i + 1) * 100)::DOUBLE AS hi
+  FROM (SELECT unnest(range(10)) AS i)
+)
+SELECT band_id, lo, hi, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+WHERE value IS NOT NULL
+GROUP BY band_id, lo, hi
 """
 )
 

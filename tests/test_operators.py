@@ -137,6 +137,41 @@ class TestAsofJoin:
         assert matched == 10  # ts in {100..190} ≥ 95
 
 
+class TestRangeJoin:
+    def test_bucketed_equals_broadcast(self, spark):
+        from datacapsule_spark.operators.rangejoin import (
+            range_join_broadcast,
+            range_join_bucketed,
+        )
+
+        points = spark.createDataFrame(
+            [(i, float(i * 7 % 500)) for i in range(200)], "id long, value double"
+        )
+        intervals = spark.createDataFrame(
+            [(0, 0.0, 100.0), (1, 100.0, 250.0), (2, 250.0, 250.5), (3, 400.0, 500.0)],
+            "band_id int, lo double, hi double",
+        )
+        a = {
+            (r["id"], r["band_id"])
+            for r in range_join_broadcast(points, intervals, "value").collect()
+        }
+        b = {
+            (r["id"], r["band_id"])
+            for r in range_join_bucketed(points, intervals, "value", step=37.0).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_hi_exclusive_on_bucket_edge(self, spark):
+        from datacapsule_spark.operators.rangejoin import range_join_bucketed
+
+        points = spark.createDataFrame([(1, 100.0)], "id long, value double")
+        intervals = spark.createDataFrame(
+            [(0, 0.0, 100.0)], "band_id int, lo double, hi double"
+        )
+        # value == hi must NOT match ([lo, hi) semantics)
+        assert range_join_bucketed(points, intervals, "value", step=100.0).count() == 0
+
+
 class TestText:
     def test_language_id(self, spark, docs):
         from datacapsule_spark.operators.text import language_id
