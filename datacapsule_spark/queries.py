@@ -237,6 +237,35 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+def sessionize_batch(spark, sf_dir):
+    """Batch twin of streaming/sessionize.py: gap-based sessions via
+    lag + running sum of session-break flags (two windows, one
+    shuffle on user_id)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # TIMESTAMP_NTZ needs a hop through TIMESTAMP to reach epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1)
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("sess_id")
+    )
+
+
 def range_join_value_bands(spark, sf_dir):
     """Range join: events assigned to value bands [lo, hi) via the
     bucketed (scale-path) strategy; per-band aggregates."""
@@ -725,6 +754,7 @@ QUERIES = {
     "intersect_both_segments": intersect_both_segments,
     "asof_click_last_purchase": asof_click_last_purchase,
     "range_join_value_bands": range_join_value_bands,
+    "sessionize_batch": sessionize_batch,
     "min_price_supplier_per_part": min_price_supplier_per_part,
     "customers_with_big_order": customers_with_big_order,
     "parts_above_brand_avg": parts_above_brand_avg,
@@ -937,6 +967,26 @@ _o("dedup_exact_docs")(
     """
 SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+)
+
+_o("sessionize_batch")(
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sess_id
 """
 )
 
