@@ -1353,9 +1353,38 @@ GROUP BY n_name
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """Flagship: the KG extractor over the documents corpus joined with
-    quality + dedup signals — scan → mapInPandas extract → agg → join,
-    the construction pipeline in miniature."""
+    """Flagship: the construction pipeline in miniature over the
+    documents corpus — scan → Arrow-batched triple extraction → per-doc
+    aggregation → joined with quality scoring and exact-dedup signals.
+    One DAG through the engine's three main layers (extraction,
+    text-quality operators, dedup)."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import quality_score
+
     triples = kg_triples_documents(spark, sf_dir)
-    counts = triples.groupBy("pred").agg(F.count("*").alias("n_triples"))
-    return counts.orderBy("pred")
+    per_doc = (
+        triples.where(F.col("subj").startswith("file:"))
+        .groupBy(F.col("subj").alias("doc"))
+        .agg(F.count("*").alias("n_triples"))
+    )
+    d = _docs(spark, sf_dir)
+    quality = quality_score(d).select(
+        F.concat(F.lit("file:docs/d"), F.col("doc_id").cast("string")).alias("doc"),
+        "n_tokens",
+        "quality",
+    )
+    dups = exact_dedup(d)
+    dup_docs = (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(dups, "content_hash")
+        .select(
+            F.concat(F.lit("file:docs/d"), F.col("doc_id").cast("string")).alias("doc"),
+            (F.col("n_dups") > 1).alias("is_dup"),
+        )
+    )
+    return (
+        per_doc.join(quality, "doc")
+        .join(dup_docs, "doc")
+        .orderBy(F.desc("quality"), F.asc("doc"))
+        .limit(100)
+    )
