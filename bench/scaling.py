@@ -59,11 +59,18 @@ def run_level(cpus: int, corpus: str) -> dict:
     work = f"/tmp/scaling_pipeline_{cpus}"
     shutil.rmtree(work, ignore_errors=True)
     from datacapsule_spark.lineage import StageTracker
+    from datacapsule_spark.pipeline import pipeline_params
 
     tracker = StageTracker(spark, work)
+    # same params keying run_pipeline will use, so stage B resumes from
+    # this boundary instead of re-extracting (markers validate params)
+    params = pipeline_params(repos, use_lsh=False)
     t0 = time.time()
     tracker.materialize(
-        "10_extract", lambda: extract_triples(repos), partition_by=["pred"]
+        "10_extract",
+        lambda: extract_triples(repos),
+        partition_by=["pred"],
+        params=params["10_extract"],
     )
     extract_wall = time.time() - t0
     n_triples = tracker.load("10_extract").count()

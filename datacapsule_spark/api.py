@@ -166,7 +166,9 @@ class DatacapsuleAPI:
         (dspy_query_db.py:70-95, sqlite_master + PRAGMA table_info)."""
         out: dict[str, list[dict]] = {}
         for t in self.spark.catalog.listTables():
-            if t.tableType != "TEMPORARY" and t.catalog is None:
+            # temp views only — register_tables() is the NL2SQL surface;
+            # permanent catalog tables are not part of the prompt payload
+            if t.tableType != "TEMPORARY":
                 continue
             out[t.name] = [
                 {"name": c.name, "type": c.dataType}

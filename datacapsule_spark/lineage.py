@@ -15,6 +15,7 @@ stage boundary is a parquet directory + a _STAGE_DONE marker file
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -22,8 +23,39 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def params_hash(params: dict | None) -> str:
+    """Stable hash of stage-relevant parameters (order-insensitive)."""
+    return hashlib.md5(
+        json.dumps(params or {}, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+def input_signature(df: DataFrame, max_files: int = 1000) -> dict:
+    """Cheap identity of a source DataFrame for checkpoint keying:
+    column names plus a hash of its (bounded) input file list. File
+    listing is scan metadata, no data read; non-file sources (in-memory
+    test DataFrames) degrade to schema-only."""
+    sig: dict = {"columns": list(df.columns)}
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        sig["n_files"] = len(files)
+        sig["files_md5"] = hashlib.md5(
+            "\n".join(files[:max_files]).encode()
+        ).hexdigest()
+    return sig
+
+
 class StageTracker:
-    """Stage-boundary checkpointing with per-partition metrics."""
+    """Stage-boundary checkpointing with per-partition metrics.
+
+    A stage is resumable only if its completion marker records the SAME
+    run_id and the SAME params hash as the current invocation — a rerun
+    with a different --run-id or toggled pipeline flags (use_lsh,
+    dedup_files, different input) re-executes instead of silently
+    returning the stale boundary (ADVICE r01)."""
 
     def __init__(self, spark: SparkSession, work_dir: str, run_id: str = "run0"):
         self.spark = spark
@@ -37,18 +69,39 @@ class StageTracker:
     def _marker(self, stage: str) -> str:
         return os.path.join(self._stage_dir(stage), "_STAGE_DONE")
 
-    def is_done(self, stage: str) -> bool:
-        return os.path.exists(self._marker(stage))
+    def is_done(self, stage: str, params: dict | None = None) -> bool:
+        """Marker exists AND belongs to this run_id; when `params` is
+        given, its hash must match the recorded one too."""
+        marker = self._marker(stage)
+        if not os.path.exists(marker):
+            return False
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if meta.get("run_id") != self.run_id:
+            return False
+        if params is not None and meta.get("params_hash") != params_hash(params):
+            return False
+        return True
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "data"))
 
-    def materialize(self, stage: str, df_thunk, partition_by: list[str] | None = None) -> DataFrame:
+    def materialize(
+        self,
+        stage: str,
+        df_thunk,
+        partition_by: list[str] | None = None,
+        params: dict | None = None,
+    ) -> DataFrame:
         """Run `df_thunk()` and persist its result as the stage boundary,
-        unless the stage already completed (resume path). Per-partition
-        lineage comes from the written parquet footers (no data scan).
+        unless the stage already completed (resume path) under the same
+        run_id + params. Per-partition lineage comes from the written
+        parquet footers (no data scan).
         """
-        if self.is_done(stage):
+        if self.is_done(stage, params=params):
             return self.load(stage)
         t0 = time.time()
         df = df_thunk()
@@ -100,9 +153,19 @@ class StageTracker:
             for row in lineage_rows:
                 f.write(json.dumps(row) + "\n")
         # atomic completion marker — written last, so a killed run
-        # re-executes the stage (exactly-once at stage granularity)
+        # re-executes the stage (exactly-once at stage granularity);
+        # records run_id + params hash so a changed configuration
+        # against the same work_dir invalidates instead of resuming
         with open(self._marker(stage), "w") as f:
-            f.write(json.dumps({"run_id": self.run_id, "wall_ms": wall_ms}))
+            f.write(
+                json.dumps(
+                    {
+                        "run_id": self.run_id,
+                        "params_hash": params_hash(params),
+                        "wall_ms": wall_ms,
+                    }
+                )
+            )
         return result
 
     def lineage(self) -> DataFrame:

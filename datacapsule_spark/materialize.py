@@ -37,6 +37,24 @@ def build_edges(triples: DataFrame, assume_unique: bool = False) -> DataFrame:
     return out if assume_unique else out.dropDuplicates(["src", "relation", "dst"])
 
 
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Distinct (subj, pred, obj) with deterministic minimum provenance
+    — ONE shuffle that doubles as the edge-dedup (NetworkX add_edge
+    overwrite semantics). Replaces dropDuplicates' arbitrary row pick
+    with min(struct(...)) so resumed/re-run pipelines are bit-identical.
+
+    This is the pipeline's single post-canonicalization shuffle: its
+    output boundary IS the edges table modulo projection (VERDICT r01
+    item 1 — the old 40_canon_triples + 60_edges pair wrote the full
+    triple stream twice and read it three times)."""
+    rest = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct(*rest)).alias("_m"))
+        .select("subj", "pred", "obj", *[F.col(f"_m.{c}").alias(c) for c in rest])
+    )
+
+
 def build_nodes(triples: DataFrame) -> DataFrame:
     """Union of subj and obj projections, attr-merged per node_id.
 
@@ -122,12 +140,16 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
         )
     )
 
-    # entity_mentions ≈ distributions: where does each referenced symbol
-    # / module appear (1:N, mirrors species→distributions)
+    # entity_mentions ≈ distributions: which symbols / modules does each
+    # file entity reference (1:N). entity_id = xxhash64(subj) — the SAME
+    # key as entities.entity_id, so the FK joins (the distributions shape:
+    # distributions.species_id → species.id, entity_extraction_db.py:
+    # 96-104); the referenced symbol is the value column `target`.
     mentions = (
         triples.where(F.col("pred").isin("imports", "calls", "defines_function", "defines_class"))
         .select(
-            F.xxhash64("obj").alias("entity_id"),
+            F.xxhash64("subj").alias("entity_id"),
+            F.col("obj").alias("target"),
             "repo",
             "path",
             F.col("pred").alias("kind"),
@@ -173,8 +195,10 @@ def write_graphml(
     nodes: DataFrame, edges: DataFrame, path: str, max_nodes: int = 200_000
 ) -> str:
     """GraphML sink — format parity with the reference's
-    nx.write_graphml (tools/entity_extraction.py:252-255; attr keys
-    d0/d6 mirror graph_data_new/graph_entity_relation_detailed.graphml).
+    nx.write_graphml (tools/entity_extraction.py:252-255). Key ids match
+    graph_data_new/graph_entity_relation_detailed.graphml where the
+    attributes coincide: d4=node_type, d5=name, d6=relation (readers
+    resolve by attr.name, so id parity is cosmetic but kept anyway).
 
     GraphML is a single-document XML format, inherently driver-side:
     this collects, so it is guarded to graphs that fit the driver
@@ -191,16 +215,16 @@ def write_graphml(
     lines = [
         '<?xml version="1.0" encoding="utf-8"?>',
         '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
-        '  <key id="d0" for="node" attr.name="node_type" attr.type="string"/>',
-        '  <key id="d1" for="node" attr.name="name" attr.type="string"/>',
+        '  <key id="d4" for="node" attr.name="node_type" attr.type="string"/>',
+        '  <key id="d5" for="node" attr.name="name" attr.type="string"/>',
         '  <key id="d6" for="edge" attr.name="relation" attr.type="string"/>',
         '  <graph edgedefault="directed">',
     ]
     for r in nodes.select("node_id", "node_type", "name").toLocalIterator():
         nid = sx.escape(r["node_id"], {'"': "&quot;"})
         lines.append(f'    <node id="{nid}">')
-        lines.append(f"      <data key=\"d0\">{sx.escape(r['node_type'])}</data>")
-        lines.append(f"      <data key=\"d1\">{sx.escape(r['name'] or '')}</data>")
+        lines.append(f"      <data key=\"d4\">{sx.escape(r['node_type'])}</data>")
+        lines.append(f"      <data key=\"d5\">{sx.escape(r['name'] or '')}</data>")
         lines.append("    </node>")
     for r in edges.select("src", "relation", "dst").toLocalIterator():
         s = sx.escape(r["src"], {'"': "&quot;"})

@@ -24,13 +24,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, spread over the cluster: the testdata parquet is a
-    single file (one input split), which would serialize the heavy
-    per-doc expression work onto one core — repartition by id first.
-    At real scale the source has many splits and this is a no-op
-    choice; the shuffle moves only the corpus once."""
+    """documents, spread over the cluster — but ONLY when the scan is
+    narrower than the cluster. The testdata parquet is a single file
+    (one input split), which would serialize the heavy per-doc
+    expression work onto one core, so a repartition is bought once; a
+    real corpus has >= defaultParallelism splits and pays nothing here
+    (no unconditional Exchange — asserted in tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() >= par:
+        return d
+    return d.repartition(par, "doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -122,7 +122,8 @@ ENTITIES = StructType(
 
 ENTITY_MENTIONS = StructType(
     [
-        StructField("entity_id", LongType(), False),
+        StructField("entity_id", LongType(), False),  # FK → ENTITIES.entity_id
+        StructField("target", StringType(), False),  # referenced symbol/module
         StructField("repo", StringType(), False),
         StructField("path", StringType(), False),
         StructField("kind", StringType(), False),

@@ -79,6 +79,20 @@ def test_query_database_envelope(spark, api, warehouse):
     assert not bad["success"] and "error" in bad
 
 
+def test_describe_schema_temp_views_only(spark, api, warehouse):
+    api.register_tables({"entities": warehouse["entities"]})
+    # a permanent catalog table must NOT leak into the NL2SQL payload
+    warehouse["entities"].limit(1).write.mode("overwrite").saveAsTable("perm_leak_check")
+    try:
+        schema = api.describe_schema()
+        assert "entities" in schema
+        assert "perm_leak_check" not in schema
+        cols = {c["name"] for c in schema["entities"]}
+        assert {"entity_id", "name", "kind"} <= cols
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_leak_check")
+
+
 def test_graphml_roundtrip(spark, warehouse, tmp_path):
     from datacapsule_spark.materialize import write_graphml
 

@@ -60,6 +60,15 @@ def test_pipeline_census_and_relational(spark, smoke_repos, tmp_path):
     assert (
         out["entities"].where(F.col("author").isin("unknown", "n/a")).count() == 0
     )
+    # entity_mentions FK joins to entities (distributions.species_id →
+    # species.id shape, ADVICE r01): zero orphan mention rows
+    orphans = (
+        out["entity_mentions"]
+        .join(out["entities"], "entity_id", "left_anti")
+        .count()
+    )
+    assert orphans == 0
+    assert "target" in out["entity_mentions"].columns
 
 
 def test_pipeline_resume_identical_output(spark, smoke_repos, tmp_path):
@@ -72,7 +81,7 @@ def test_pipeline_resume_identical_output(spark, smoke_repos, tmp_path):
     )
     # simulate mid-pipeline kill: canonicalize and later stages lost
     tracker = StageTracker(spark, str(work))
-    for stage in ["30_canonicalize", "40_canon_triples", "50_nodes", "60_edges"]:
+    for stage in ["30_canonicalize", "40_canon_edges", "50_nodes"]:
         tracker.invalidate(stage)
     out2 = run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
     t2 = sorted(
@@ -82,7 +91,7 @@ def test_pipeline_resume_identical_output(spark, smoke_repos, tmp_path):
     assert len(t2) == len(set(t2)), "resume must not duplicate triples"
     # lineage table recorded every stage
     stages = {r["stage"] for r in out2["lineage"].collect()}
-    assert {"10_extract", "30_canonicalize", "60_edges"} <= stages
+    assert {"10_extract", "30_canonicalize", "40_canon_edges", "50_nodes"} <= stages
 
 
 def test_pipeline_file_dedup(spark, smoke_repos, tmp_path):
@@ -123,3 +132,39 @@ def test_pipeline_skips_completed_stages(spark, smoke_repos, tmp_path, monkeypat
     monkeypatch.setattr(P, "extract_triples", boom)
     out = run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
     assert out["triples"].count() > 0
+
+
+def test_stale_checkpoint_invalidated_on_changed_config(
+    spark, smoke_repos, tmp_path, monkeypatch
+):
+    """ADVICE r01 (medium): a rerun with a toggled flag or a different
+    run_id must RE-EXECUTE the affected stages, not silently return the
+    stale boundary from the same work_dir."""
+    import datacapsule_spark.pipeline as P
+
+    work = str(tmp_path / "work4")
+    run_pipeline(spark, smoke_repos, work, use_lsh=False)
+
+    calls = {"link": 0}
+    orig = P.alias_pairs
+
+    def counting(*a, **k):
+        calls["link"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(P, "alias_pairs", counting)
+    # same config → resumes, linking NOT re-run
+    run_pipeline(spark, smoke_repos, work, use_lsh=False)
+    assert calls["link"] == 0
+    # toggled use_lsh → 20_link (and downstream) re-execute
+    run_pipeline(spark, smoke_repos, work, use_lsh=True)
+    assert calls["link"] == 1
+    # different run_id → everything re-executes (extract marker invalid)
+    def boom(*a, **k):
+        raise AssertionError("sentinel: extract re-ran")
+
+    monkeypatch.setattr(P, "extract_triples", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="sentinel"):
+        run_pipeline(spark, smoke_repos, work, use_lsh=False, run_id="other")

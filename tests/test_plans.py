@@ -72,6 +72,26 @@ def test_canonical_rewrite_broadcasts(spark, smoke_repos):
     assert r.sort_merge_joins == 0, r.text
 
 
+def test_docs_no_gratuitous_repartition(spark, tmp_path):
+    """_docs must not shuffle a corpus that already has >= cluster
+    parallelism input splits (VERDICT r01: the unconditional repartition
+    encoded a full corpus shuffle into every documents query)."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.queries import _docs
+
+    par = spark.sparkContext.defaultParallelism
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    wide_dir = str(tmp_path / "docs_wide")
+    src.repartition(par * 2).write.parquet(f"{wide_dir}/documents.parquet")
+    d = _docs(spark, wide_dir)
+    r = explain_report(d.select(F.length("text").alias("n")))
+    assert r.exchanges == 0, r.text
+    # and the single-split testdata layout still gets spread
+    narrow = _docs(spark, SF)
+    assert narrow.rdd.getNumPartitions() >= par
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 
