@@ -252,20 +252,74 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    exact: bool = False,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold. Exact all-pairs here
-    (testdata scale); at 100 TB run inside hyperplane buckets
-    (vectorize.hyperplane_signatures) so the join is bucket-local."""
+    """Near-dup pairs by cosine ≥ threshold.
+
+    Default path: multi-table random-hyperplane LSH. Every vector gets
+    n_tables independent bucket ids (sign pattern of n_planes random
+    projections each, vectorize.hyperplane_signatures); candidate pairs
+    are generated ONLY inside (table, bucket) groups — one self-join
+    shuffled on (table, bucket), exactly the MinHash banding shape —
+    then re-scored with exact cosine. Expected recall for a true pair
+    at cosine c is 1 - (1 - (1 - arccos(c)/pi)^n_planes)^n_tables;
+    the defaults give ~0.98 at c = 0.9 (recall-gated in
+    tests/test_operators.py). No stage is O(n^2): candidate volume is
+    sum over buckets of C(|bucket|, 2), and n_planes dials bucket
+    granularity up with corpus size.
+
+    exact=True is the all-pairs theta join — a nested-loop cartesian at
+    scale, kept as the small-input / DuckDB-oracle twin only.
+    """
     a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if exact:
+        cand = a.join(b, F.col("a") < F.col("b"))
+    else:
+        from ..vectorize import hyperplane_signatures
+
+        first = embeddings.select(vec_col).first()
+        if first is None:  # empty input: the theta join is free and
+            return embedding_cosine_pairs(  # keeps the output schema
+                embeddings, id_col, vec_col, threshold, exact=True
+            )
+        dim = len(first[0])
+        # all tables' buckets in one pass over the vectors, then one
+        # posexplode → one self-join keyed (table, bucket)
+        with_b = embeddings
+        for t in range(n_tables):
+            with_b = hyperplane_signatures(
+                with_b, n_planes=n_planes, seed=seed + 1000 * t, dim=dim,
+                vec_col=vec_col, out_col=f"_bkt_{t}",
+            )
+        buckets = with_b.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.array(*[F.col(f"_bkt_{t}") for t in range(n_tables)])
+            ).alias("tbl", "bucket"),
+        ).localCheckpoint(eager=False)  # consumed by both join sides
+        pair_ids = (
+            buckets.alias("l")
+            .join(
+                buckets.alias("r"),
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc") < F.col("r.doc")),
+            )
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct()
+        )
+        cand = pair_ids.join(a, "a").join(b, "b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", dot / (na * nb))
+        cand.withColumn("cos", dot / (na * nb))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

@@ -525,7 +525,10 @@ def dedup_minhash_pairs_docs(spark, sf_dir):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs, cosine ≥ 0.9, bounded slice."""
+    """Embedding near-dup pairs on a bounded slice — exact=True is the
+    DuckDB-oracle twin (all-pairs is SQL-expressible; the operator's
+    DEFAULT is the bucketed LSH path, recall-gated in
+    tests/test_operators.py::test_embedding_dedup_bucketed_recall)."""
     from .operators.dedup import embedding_cosine_pairs
 
     e = (
@@ -533,8 +536,25 @@ def dedup_embedding_cosine(spark, sf_dir):
         .where(F.col("vec_id") < 200)
         .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     )
-    out = embedding_cosine_pairs(e, threshold=0.3)
+    out = embedding_cosine_pairs(e, threshold=0.3, exact=True)
     return out.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+def dedup_lsh_jaccard_docs(spark, sf_dir):
+    """The production near-dup chain end-to-end (VERDICT r01 item 3):
+    MinHash signatures → banded LSH candidate pairs → exact n-gram
+    Jaccard re-score. Never all-pairs: candidates exist only where a
+    band collides; the re-score joins shingles onto candidates only."""
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(minhash_signatures(d))
+    out = ngram_jaccard_pairs(d, pairs, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # --------------------------------------------------------------------------
@@ -772,6 +792,7 @@ QUERIES = {
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
+    "dedup_lsh_jaccard_docs": dedup_lsh_jaccard_docs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_language_id": text_language_id,
     "text_quality": text_quality,
@@ -1172,6 +1193,33 @@ _o("dedup_minhash_pairs_docs")(
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+)
+
+_o("dedup_lsh_jaccard_docs")(
+    _SHINGLES_CTE
+    + """
+, sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
+  FROM sh WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
+           AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.grams, sb.grams))::DOUBLE /
+             len(list_distinct(list_concat(sa.grams, sb.grams))), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE /
+      len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.5
 """
 )
 

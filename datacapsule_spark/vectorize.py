@@ -236,7 +236,12 @@ def ivf_topk(
 # ------------------------------------------- LSH-bucketed ANN (scale path)
 
 def hyperplane_signatures(
-    embeddings: DataFrame, n_planes: int = 8, seed: int = 42, dim: int = EMBED_DIM
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = EMBED_DIM,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane (SimHash) bucket id per vector — sign pattern
     of n_planes dot products, packed into an int. Deterministic planes
@@ -248,12 +253,12 @@ def hyperplane_signatures(
     for i in range(n_planes):
         p = F.array(*[F.lit(float(x)) for x in planes[i]])
         dot = F.aggregate(
-            F.zip_with(F.col("embedding"), p, lambda a, b: a * b),
+            F.zip_with(F.col(vec_col), p, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return embeddings.withColumn("bucket", sig)
+    return embeddings.withColumn(out_col, sig)
 
 
 def lsh_bucketed_topk(

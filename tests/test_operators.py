@@ -102,6 +102,41 @@ class TestDedup:
         want = np.dot([1, 0, 0], [0.999, 0.04, 0]) / np.linalg.norm([0.999, 0.04, 0])
         assert out[(0, 1)] == pytest.approx(want, abs=1e-9)
 
+    def test_embedding_dedup_bucketed_recall(self, spark):
+        """The DEFAULT (bucketed LSH) path must find >=95% of the exact
+        all-pairs matches at tau=0.9, with zero false positives (the
+        re-score is exact, so bucketed output must be a subset)."""
+        from datacapsule_spark.operators.dedup import embedding_cosine_pairs
+
+        rng = np.random.RandomState(7)
+        dim, rows = 16, []
+        vid = 0
+        for c in range(40):  # 40 clusters of 3 near-identical vectors
+            base = rng.randn(dim)
+            base /= np.linalg.norm(base)
+            for _ in range(3):
+                v = base + rng.randn(dim) * 0.08  # cosine ~0.97 to base
+                rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+                vid += 1
+        for _ in range(80):  # unrelated noise
+            v = rng.randn(dim)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        exact = {
+            (r["a"], r["b"])
+            for r in embedding_cosine_pairs(df, threshold=0.9, exact=True).collect()
+        }
+        bucketed = {
+            (r["a"], r["b"])
+            for r in embedding_cosine_pairs(df, threshold=0.9).collect()
+        }
+        assert len(exact) >= 40  # the planted clusters produce pairs
+        assert bucketed <= exact  # exact re-score → no false positives
+        recall = len(bucketed & exact) / len(exact)
+        assert recall >= 0.95, f"bucketed recall {recall:.3f} on {len(exact)} pairs"
+
 
 class TestAsofJoin:
     def test_backward_inclusive_semantics(self, spark):
