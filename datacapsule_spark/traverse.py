@@ -41,9 +41,9 @@ NODE_HIERARCHY = {
 }
 
 
-def _rank_map_col():
+def _rank_map_col(hierarchy: dict[str, int] | None = None):
     pairs = []
-    for k, v in NODE_HIERARCHY.items():
+    for k, v in (hierarchy or NODE_HIERARCHY).items():
         pairs.extend([F.lit(k), F.lit(v)])
     return F.create_map(*pairs)
 
@@ -62,6 +62,7 @@ def find_nodes_by_node_type(
     start_nodes: DataFrame,
     target_type: str,
     max_hops: int = 7,
+    hierarchy: dict[str, int] | None = None,
 ) -> DataFrame:
     """Batch G1/G2: start_nodes(query_id, node_id) → (query_id, node_id)
     of all reachable nodes with node_type == target_type, traversal
@@ -71,8 +72,12 @@ def find_nodes_by_node_type(
     ABOVE the start (smaller rank), only expand to equal-or-smaller
     ranks; if below, only to equal-or-larger; same rank → immediate hit
     check only.
+
+    hierarchy: node_type → rank map; defaults to the code-KG taxonomy.
+    Pass the reference's NODE_HIERARCHY (react_tools.py:19-40) to
+    traverse an ingested marine-species graph.
     """
-    rank_map = _rank_map_col()
+    rank_map = _rank_map_col(hierarchy)
     typed = nodes.select(
         "node_id", "node_type", rank_map[F.col("node_type")].alias("rank")
     )

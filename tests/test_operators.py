@@ -453,6 +453,45 @@ class TestTraverse:
         }
         assert hits == {"file:r1/a.py"}
 
+    def test_bfs_no_down_then_up_wandering(self, spark):
+        """Counterexample for per-HOP rank monotonicity (VERDICT r01
+        item 8): going UP from f1, a traversal-wide band [target, start]
+        would admit f1 → d1(up) → f2(DOWN, still in band) → d2(up) →
+        r2 and return the wrong repo. The per-hop rule (each hop moves
+        weakly toward the target relative to the CURRENT node) prunes
+        the d1 → f2 down-step, so only the true ancestor is returned."""
+        from datacapsule_spark.traverse import find_nodes_by_node_type
+
+        nodes = spark.createDataFrame(
+            [
+                ("repo:r1", "repo", "r1", None),
+                ("repo:r2", "repo", "r2", None),
+                ("dir:d1", "dir", "d1", None),
+                ("dir:d2", "dir", "d2", None),
+                ("file:f1", "file", "f1", None),
+                ("file:f2", "file", "f2", None),  # in d1 AND d2 (vendored copy)
+            ],
+            "node_id string, node_type string, name string, attrs map<string,string>",
+        )
+        edges = spark.createDataFrame(
+            [
+                ("repo:r1", "contains", "dir:d1", None, None),
+                ("repo:r2", "contains", "dir:d2", None, None),
+                ("dir:d1", "contains", "file:f1", None, None),
+                ("dir:d1", "contains", "file:f2", None, None),
+                ("dir:d2", "contains", "file:f2", None, None),
+            ],
+            "src string, relation string, dst string, repo string, path string",
+        )
+        starts = spark.createDataFrame(
+            [("q", "file:f1")], "query_id string, node_id string"
+        )
+        hits = {
+            r["node_id"]
+            for r in find_nodes_by_node_type(nodes, edges, starts, "repo").collect()
+        }
+        assert hits == {"repo:r1"}  # r2 reachable only via a down-then-up path
+
     def test_adjacent_descriptions(self, spark, graph):
         from datacapsule_spark.traverse import get_adjacent_descriptions
 
