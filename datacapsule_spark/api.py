@@ -44,6 +44,7 @@ class DatacapsuleAPI:
         nodes: DataFrame,
         edges: DataFrame,
         embeddings: DataFrame | None = None,
+        hierarchy: dict[str, int] | None = None,
     ):
         self.spark = spark
         # serving caches the graph, mirroring the reference's in-RAM
@@ -51,6 +52,10 @@ class DatacapsuleAPI:
         self.nodes = nodes.cache()
         self.edges = edges.cache()
         self.embeddings = embeddings
+        # node_type → rank map for traversal pruning; None = the code-KG
+        # taxonomy. Pass the reference's NODE_HIERARCHY to serve an
+        # ingested marine-species graph (tests/test_interactions_replay.py)
+        self.hierarchy = hierarchy
 
     @classmethod
     def from_warehouse(cls, spark: SparkSession, base_dir: str) -> "DatacapsuleAPI":
@@ -65,7 +70,7 @@ class DatacapsuleAPI:
         starts = self.spark.createDataFrame(
             [("q", start_node)], "query_id string, node_id string"
         )
-        hits = _bfs(self.nodes, self.edges, starts, node_type)
+        hits = _bfs(self.nodes, self.edges, starts, node_type, hierarchy=self.hierarchy)
         names = sorted(r["node_id"] for r in hits.collect())
         return {"nodes_count": len(names), "nodes": names}
 
@@ -76,7 +81,7 @@ class DatacapsuleAPI:
         starts = self.spark.createDataFrame(
             [(s, s) for s in start_nodes], "query_id string, node_id string"
         )
-        hits = _bfs(self.nodes, self.edges, starts, node_type)
+        hits = _bfs(self.nodes, self.edges, starts, node_type, hierarchy=self.hierarchy)
         out: dict[str, list[str]] = {s: [] for s in start_nodes}
         for r in hits.collect():
             out[r["query_id"]].append(r["node_id"])

@@ -180,6 +180,28 @@ class StageTracker:
 
         return self.spark.createDataFrame(rows, LINEAGE) if rows else self.spark.createDataFrame([], LINEAGE)
 
+    def merge_lineage_iceberg(self, table: str) -> None:
+        """MERGE the recorded lineage rows into an Iceberg metrics table
+        keyed (run_id, stage, partition_id) — the idempotent-resume
+        upsert this module's docstring describes. Requires an Iceberg
+        catalog on the session (materialize.iceberg_available); raises
+        cleanly in catalogs-less sandboxes."""
+        from .materialize import _require_iceberg
+
+        _require_iceberg(self.spark)
+        df = self.lineage()
+        df.createOrReplaceTempView("_lineage_src")
+        self.spark.sql(
+            f"""
+            MERGE INTO {table} t
+            USING _lineage_src s
+            ON t.run_id = s.run_id AND t.stage = s.stage
+               AND t.partition_id = s.partition_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
     def invalidate(self, stage: str) -> None:
         marker = self._marker(stage)
         if os.path.exists(marker):

@@ -191,6 +191,28 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
 
 # ----------------------------------------------------------------- sinks
 
+def iceberg_available(spark) -> bool:
+    """True iff the session's JVM can load the Iceberg Spark catalog
+    (jars on the classpath). The sandbox has none, so the iceberg=True
+    branches raise cleanly here and run on a real cluster unchanged."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — capability probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_iceberg(spark) -> None:
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg=True but no Iceberg catalog on this session: add the "
+            "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
+            "config, or use the partitioned-parquet path (iceberg=False)."
+        )
+
+
 def write_graphml(
     nodes: DataFrame, edges: DataFrame, path: str, max_nodes: int = 200_000
 ) -> str:
@@ -243,10 +265,24 @@ def write_graph(
     edges: DataFrame,
     base_dir: str,
     mode: str = "overwrite",
+    iceberg: bool = False,
 ) -> None:
-    """Partitioned sink (S2). nodes by node_type, edges by relation —
-    the same partition spec SURVEY.md prescribes for the Iceberg tables
-    (`writeTo(...).partitionedBy(...)`); parquet here because the test
-    sandbox has no Iceberg catalog."""
+    """Partitioned sink (S2). nodes by node_type, edges by relation.
+
+    iceberg=True: `base_dir` is a catalog namespace (e.g.
+    "local.kg") and the write is `writeTo(...).partitionedBy(...)` —
+    identical partition-pruning semantics, plus snapshot isolation.
+    Raises cleanly when the session has no Iceberg catalog (this
+    sandbox); the parquet path is the default everywhere else."""
+    if iceberg:
+        spark = nodes.sparkSession
+        _require_iceberg(spark)
+        nodes.writeTo(f"{base_dir}.nodes").partitionedBy(
+            F.col("node_type")
+        ).createOrReplace()
+        edges.writeTo(f"{base_dir}.edges").partitionedBy(
+            F.col("relation")
+        ).createOrReplace()
+        return
     nodes.write.mode(mode).partitionBy("node_type").parquet(f"{base_dir}/nodes")
     edges.write.mode(mode).partitionBy("relation").parquet(f"{base_dir}/edges")
