@@ -25,13 +25,31 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """edges(a, b) undirected → (node_id, canonical_id) mapping.
 
     canonical_id = min node id (lexicographic) in the component.
     Deterministic; idempotent (CC∘CC = CC) — property-tested against
-    networkx in tests/test_canonicalize.py.
+    a union-find oracle in tests/test_canonicalize.py.
+
+    Two execution paths, same semantics (equivalence-tested):
+
+    - edge count ≤ driver_threshold: driver-side union-find. The CC
+      input here is the ALIAS-PAIR dictionary — O(distinct linked
+      names), orders of magnitude smaller than the corpus — and below
+      ~10^6 pairs the distributed loop's cost is pure scheduling
+      latency (each round is 4+ tiny jobs; measured ~60-70s of fixed
+      wall per pipeline run at ANY parallelism, the dominant term in
+      full-pipeline scaling). Union-find on the driver is O(E α(E))
+      and milliseconds at that size.
+    - above the threshold: the alternating large-star/small-star loop
+      below — the path a 10^9-name vocabulary takes on a real cluster,
+      where each round's shuffles scale with executors.
     """
     spark = edges.sparkSession
     # undirected, deduped edge list; drop self-loops
@@ -42,6 +60,12 @@ def connected_components(
     )
     if e.isEmpty():
         return spark.createDataFrame([], "node_id string, canonical_id string")
+
+    if driver_threshold > 0:
+        # cheap gate: materialize once, count; reused by either path
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= driver_threshold:
+            return _driver_union_find(spark, e)
 
     for _ in range(max_iter):
         # --- large-star: for each u, attach all neighbors v with v > u
@@ -91,6 +115,37 @@ def connected_components(
         F.col("canonical_id").alias("canonical_id"),
     ).distinct()
     return mapping.union(roots).distinct()
+
+
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Exact union-find (union-by-min + path compression) over a
+    collected edge list — the small-dictionary fast path. Union always
+    parents the larger root under the smaller, so every final root is
+    its component's minimum id: identical output to the distributed
+    loop (string order: Python code points ≡ Spark UTF8_BINARY)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e.toLocalIterator():
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = [(n, find(n)) for n in parent] + [
+        (root, root) for root in {find(n) for n in parent}
+    ]
+    return spark.createDataFrame(
+        sorted(set(rows)), "node_id string, canonical_id string"
+    )
 
 
 def apply_canonical(

@@ -104,6 +104,55 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """F9: sliding-window token chunking — doc → (doc_id, chunk_idx,
+    chunk, n_tokens) rows, chunks of `size` tokens starting every
+    `stride` (overlap = size - stride). The training-data shape of the
+    reference's chunked serving output (dspy_inference.py:236-330),
+    re-expressed as a 1→N row expansion: sequence + posexplode + slice,
+    all JVM-side, no shuffle — chunk rows are born on the scan
+    partitions that hold their documents.
+
+    Whitespace-only documents produce zero chunks. A trailing window
+    starting past the last token is never emitted; the final chunk may
+    be shorter than `size`.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # chunk indexes: 0, 1, ... while idx*stride < n (empty doc → no rows;
+    # NB sequence(1, 0) would count DOWN in Spark, hence the guard)
+    idxs = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(idxs).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("chunk_idx") * stride + 1, size)
+            ).alias("chunk"),
+            F.least(
+                F.size("_toks") - F.col("chunk_idx") * stride, F.lit(size)
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token list (Broder-sketch-lite; detects shuffled dupes)."""

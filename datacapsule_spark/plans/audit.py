@@ -29,6 +29,7 @@ class PlanReport:
     broadcast_joins: int = 0
     sort_merge_joins: int = 0
     cartesian_products: int = 0
+    nested_loop_joins: int = 0
     take_ordered: int = 0
     wholestage_codegen: int = 0
     exchanges: int = 0
@@ -60,6 +61,7 @@ def explain_report(df: DataFrame) -> PlanReport:
         broadcast_joins=nodes("BroadcastHashJoin"),
         sort_merge_joins=nodes("SortMergeJoin"),
         cartesian_products=nodes("CartesianProduct"),
+        nested_loop_joins=nodes("BroadcastNestedLoopJoin"),
         take_ordered=nodes("TakeOrderedAndProject"),
         # formatted mode stars codegen'd operators ("* Filter (3)")
         wholestage_codegen=len(re.findall(r"^\s*[+:-]*\s*\* ", text, re.M)),

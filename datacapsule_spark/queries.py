@@ -593,6 +593,14 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def text_chunks(spark, sf_dir):
+    """F9: sliding-window token chunking (64-token chunks, stride 48) —
+    1→N row expansion born on the scan partitions, no shuffle."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=64, stride=48)
+
+
 # --------------------------------------------------------------------------
 # Vector search suite over `embeddings` (SURVEY G7, F10, J6)
 # --------------------------------------------------------------------------
@@ -798,6 +806,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_chunks": text_chunks,
     "vector_topk": vector_topk,
     "vector_knn_batch": vector_knn_batch,
     "vector_label_centroid_sim": vector_label_centroid_sim,
@@ -1322,6 +1331,23 @@ WITH t AS (
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
        len(toks) AS vocab_size
 FROM t
+"""
+)
+
+_o("text_chunks")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(((len(t) - 1) // 48) + 1)) AS chunk_idx
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       array_to_string(t[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk,
+       least(len(t) - chunk_idx*48, 64)::INT AS n_tokens
+FROM idx
 """
 )
 

@@ -46,6 +46,28 @@ def hourly_event_counts(events_stream: DataFrame, watermark: str = "2 hours") ->
     )
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.exact_dedup's keep policy:
+    forward only the first-arriving document per content hash.
+
+    dropDuplicatesWithinWatermark keys the state store on md5(text)
+    and expires entries past the watermark horizon — at ingest scale
+    the state holds one key per in-horizon distinct content, never the
+    full corpus history (the property that makes exact dedup runnable
+    as a continuous job instead of a nightly batch)."""
+    return (
+        docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def incremental_extract_triples(
     spark, input_dir: str, checkpoint_dir: str, output_dir: str,
     trigger_once: bool = True,

@@ -35,17 +35,23 @@ def _uf_components(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "a string, b string")
-    got = {
-        r["node_id"]: r["canonical_id"]
-        for r in connected_components(df, "a", "b").collect()
-    }
     want = _uf_components(edges)
     # canonical representative must be the component min in both
     comp_want = {}
     for n, r in want.items():
         comp_want.setdefault(r, set()).add(n)
     want_min = {n: min(members) for r, members in comp_want.items() for n in members}
-    assert got == want_min
+    # BOTH execution paths must match the oracle (and hence each other):
+    # driver_threshold=0 forces the distributed large/small-star loop,
+    # the default takes the driver union-find fast path at this size
+    for threshold in (0, 1_000_000):
+        got = {
+            r["node_id"]: r["canonical_id"]
+            for r in connected_components(
+                df, "a", "b", driver_threshold=threshold
+            ).collect()
+        }
+        assert got == want_min, f"path driver_threshold={threshold}"
 
 
 CASES = {

@@ -227,6 +227,32 @@ class TestText:
         assert t[0]["ws_tokens"] == 9
         assert t[6]["ws_tokens"] == 1
 
+    def test_chunk_documents_windows(self, spark):
+        from datacapsule_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [
+                (0, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+                (1, "a b"),                                 # shorter than size
+                (2, "   "),                                 # whitespace only
+            ],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, size=4, stride=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["chunk"], r["n_tokens"]
+            )
+        # doc 0: starts 0,3,6,9 → 4 chunks, last one a single token
+        assert by_doc[0][0] == ("w0 w1 w2 w3", 4)
+        assert by_doc[0][1] == ("w3 w4 w5 w6", 4)
+        assert by_doc[0][2] == ("w6 w7 w8 w9", 4)
+        assert by_doc[0][3] == ("w9", 1)
+        assert len(by_doc[0]) == 4
+        assert by_doc[1] == {0: ("a b", 2)}
+        assert 2 not in by_doc  # empty doc → zero chunks
+
     def test_fingerprint_order_insensitive(self, spark):
         from datacapsule_spark.operators.text import fingerprint
 

@@ -92,6 +92,42 @@ def test_docs_no_gratuitous_repartition(spark, tmp_path):
     assert narrow.rdd.getNumPartitions() >= par
 
 
+def test_text_chunks_shuffle_free_on_wide_input(spark, tmp_path):
+    """Chunking is a 1→N row expansion born on the scan partitions —
+    with enough input splits the plan must carry ZERO exchanges."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.queries import QUERIES
+
+    par = spark.sparkContext.defaultParallelism
+    wide_dir = str(tmp_path / "chunks_wide")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(par * 2).write.parquet(
+        f"{wide_dir}/documents.parquet"
+    )
+    r = explain_report(QUERIES["text_chunks"](spark, wide_dir))
+    assert r.exchanges == 0, r.text
+
+
+def test_embedding_dedup_default_no_nested_loop(spark):
+    """The DEFAULT embedding-dedup path must not contain the all-pairs
+    nested-loop/cartesian shape (VERDICT r01 'What's wrong' #1) — the
+    only joins are the (table, bucket)-keyed self-join and the two
+    id-keyed vector fetches."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.operators.dedup import embedding_cosine_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    r = explain_report(embedding_cosine_pairs(e, threshold=0.9))
+    assert r.nested_loop_joins == 0, r.text
+    assert r.cartesian_products == 0, r.text
+    # and the exact opt-in IS the nested-loop shape (the escape hatch)
+    r2 = explain_report(embedding_cosine_pairs(e, threshold=0.9, exact=True))
+    assert r2.nested_loop_joins + r2.cartesian_products >= 1, r2.text
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 

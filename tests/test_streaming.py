@@ -41,6 +41,40 @@ def test_hourly_counts_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_exact_dedup_keeps_one_per_hash(spark, tmp_path):
+    """Streaming dedup twin: duplicates within the watermark horizon
+    collapse to the first arrival; output hash set == batch distinct."""
+    from datacapsule_spark.streaming.stream_ops import streaming_exact_dedup
+
+    rows = [
+        (1, "alpha beta gamma", "2024-01-01 10:00:00"),
+        (2, "alpha beta gamma", "2024-01-01 10:05:00"),  # dup of 1
+        (3, "delta epsilon", "2024-01-01 10:10:00"),
+        (4, "alpha beta gamma", "2024-01-01 10:20:00"),  # dup of 1
+        (5, "zeta eta", "2024-01-01 10:30:00"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts string")
+    src = str(tmp_path / "docs_in")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_mem").collect()
+    hashes = [r["content_hash"] for r in out]
+    assert len(hashes) == len(set(hashes)) == 3  # one survivor per content
+    assert {r["text"] for r in out} == {"alpha beta gamma", "delta epsilon", "zeta eta"}
+
+
 def test_incremental_extract_matches_batch(spark, tmp_path, smoke_repos):
     from datacapsule_spark.extract import extract_triples
     from datacapsule_spark.streaming.stream_ops import incremental_extract_triples
