@@ -17,6 +17,10 @@ engines and keep their call sites:
 - query_database               (dspy_query_db.py:54-158 → S5; the LLM
   NL→SQL step stays at the driver — this engine executes the SQL with
   the same markdown-fence stripping and result envelope)
+- format_results               (dspy_query_db.py:170-204 → A8 max-width
+  table rendering of the envelope)
+- save_interaction / load_interactions (app.py:253-275 saved-data JSON
+  → S9, re-expressed as O(record) atomic per-id files, DataFrame-loadable)
 
 The X5 ReAct loop itself is LLM orchestration, not engine code; these
 are the engine entry points it calls.
@@ -158,6 +162,66 @@ class DatacapsuleAPI:
             }
         except Exception as e:  # noqa: BLE001 — envelope contract
             return {"success": False, "generated_sql": cleaned, "error": str(e)}
+
+    # ------------------------------------------------- ops persistence
+
+    @staticmethod
+    def format_results(envelope: dict) -> str:
+        """A8: max-width column-aligned rendering of a query_database
+        envelope — same layout as the reference (dspy_query_db.py:
+        170-204): per-column width = max(len(header), len(any value)),
+        values ljust-padded, None → 'NULL', header + dashed separator."""
+        if not envelope.get("success", False):
+            return (
+                f"query failed: {envelope.get('error')}\n"
+                f"SQL: {envelope.get('generated_sql')}"
+            )
+        rows = envelope.get("results", [])
+        out = [f"SQL: {envelope.get('generated_sql')}",
+               f"{envelope.get('row_count', len(rows))} rows:"]
+        if rows:
+            cols = list(rows[0].keys())
+            widths = {c: len(c) for c in cols}
+            for row in rows:
+                for c in cols:
+                    v = "NULL" if row[c] is None else str(row[c])
+                    widths[c] = max(widths[c], len(v))
+            out.append(" | ".join(c.ljust(widths[c]) for c in cols))
+            out.append("-+-".join("-" * widths[c] for c in cols))
+            for row in rows:
+                out.append(
+                    " | ".join(
+                        ("NULL" if row[c] is None else str(row[c])).ljust(widths[c])
+                        for c in cols
+                    )
+                )
+        return "\n".join(out)
+
+    def save_interaction(self, record: dict, save_dir: str) -> bool:
+        """S9: saved-data JSON sink. The reference appends to ONE
+        saved_data.json array (read-all + rewrite-all per save,
+        app.py:253-275 — O(store) a write); here each record is its own
+        JSON file keyed by record id (duplicate id → False, mirroring
+        save_to_db's 400, app.py:285-291), so saves are O(record),
+        atomic, and the directory loads straight into a DataFrame."""
+        import json
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+        rid = str(record.get("id") or f"rec-{len(os.listdir(save_dir))}")
+        path = os.path.join(save_dir, f"{rid}.json")
+        if os.path.exists(path):
+            return False
+        tmp = f"{path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({**record, "id": rid}, f, ensure_ascii=False)
+        os.rename(tmp, path)
+        return True
+
+    def load_interactions(self, save_dir: str) -> DataFrame:
+        """Read every saved interaction back as a DataFrame (the ops
+        table the reference keeps in sqlite — S7's JSON twin)."""
+        return self.spark.read.option("multiLine", "true").json(save_dir)
 
     def register_tables(self, tables: dict[str, DataFrame]) -> None:
         """Expose DataFrames to query_database (SQL views), including

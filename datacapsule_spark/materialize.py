@@ -120,7 +120,11 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
         .groupBy("subj")
         .agg(F.min("author").alias("author"))
     )
-    base = files.groupBy("subj").agg(
+    # every file emits exactly one has_loc triple (extraction_schema.py:
+    # 333, unconditional) carrying the same (repo, path, lang) as all of
+    # the file's rows — restricting to that pred reads 1 of 10 pred
+    # partitions for an identical result
+    base = files.where(F.col("pred") == "has_loc").groupBy("subj").agg(
         F.first("repo").alias("repo"),
         F.min("path").alias("first_path"),
         F.first("lang").alias("lang"),

@@ -98,9 +98,18 @@ def run_pipeline(
     )
 
     # link symbol-type entities only (mirrors the reference linking
-    # entities by surface string; modules/files/authors keep exact ids)
+    # entities by surface string; modules/files/authors keep exact ids).
+    # The pred IN (...) clause is redundant with obj_type == symbol
+    # (extraction_schema.py:319,331 — symbols occur only under these
+    # three preds) but pred is the boundary's PARTITION column, so it
+    # prunes the scan to 3 of 10 partitions; obj_type alone reads all.
+    from .extraction_schema import PRED_CALLS, PRED_DEF_CLASS, PRED_DEF_FUNC
+
     sym_names = (
-        triples.where(F.col("obj_type") == "symbol")
+        triples.where(
+            F.col("pred").isin(PRED_DEF_FUNC, PRED_DEF_CLASS, PRED_CALLS)
+            & (F.col("obj_type") == "symbol")
+        )
         .select(F.col("obj").alias("name"))
         .distinct()
     )
@@ -115,10 +124,21 @@ def run_pipeline(
 
     # ONE post-canonicalization pass: broadcast rewrite + the single
     # dedup shuffle, written once. This boundary IS the canonical triple
-    # set AND (modulo projection) the edges table.
+    # set AND (modulo projection) the edges table. Two I/O choices that
+    # measured 4x on the boundary size (1.7 GB -> ~0.4 GB at 29.6M
+    # triples): (a) commit + content_sha256 are dropped — nothing
+    # downstream reads them, and the sha is 64 high-entropy chars/row
+    # that stop compressing once the shuffle scatters rows; (b)
+    # sortWithinPartitions(subj) re-clusters each reducer's rows by
+    # file so provenance strings dictionary/RLE-encode again (no extra
+    # shuffle — a per-partition sort on data already in memory).
     canon_triples = tracker.materialize(
         "40_canon_edges",
-        lambda: dedup_triples(apply_canonical(triples, mapping, ["subj", "obj"])),
+        lambda: dedup_triples(
+            apply_canonical(
+                triples.drop("commit", "content_sha256"), mapping, ["subj", "obj"]
+            )
+        ).sortWithinPartitions("subj"),
         partition_by=["pred"],
         params=down,
     )

@@ -79,6 +79,33 @@ def test_query_database_envelope(spark, api, warehouse):
     assert not bad["success"] and "error" in bad
 
 
+def test_format_results_max_width(api, warehouse):
+    api.register_tables({"entities_fmt": warehouse["entities"]})
+    env = api.query_database(
+        "SELECT kind, count(*) AS n FROM entities_fmt GROUP BY kind"
+    )
+    text = api.format_results(env)
+    lines = text.splitlines()
+    # header + separator + one data row, all equal width (A8 layout)
+    assert lines[2].startswith("kind")
+    assert set(lines[3]) <= {"-", "+"}
+    assert len(lines[2]) == len(lines[3]) == len(lines[4])
+    assert "file" in lines[4]
+    # failure envelope renders the error, not a table
+    bad = api.format_results(api.query_database("SELECT * FROM nope"))
+    assert bad.startswith("query failed")
+
+
+def test_save_and_load_interactions(api, tmp_path):
+    d = str(tmp_path / "saved")
+    assert api.save_interaction({"id": "a1", "question": "q?", "answer": "a"}, d)
+    assert api.save_interaction({"id": "a2", "question": "r?", "answer": "b"}, d)
+    assert not api.save_interaction({"id": "a1", "question": "dup"}, d)  # 400 twin
+    df = api.load_interactions(d)
+    assert df.count() == 2
+    assert {r["id"] for r in df.select("id").collect()} == {"a1", "a2"}
+
+
 def test_describe_schema_temp_views_only(spark, api, warehouse):
     api.register_tables({"entities": warehouse["entities"]})
     # a permanent catalog table must NOT leak into the NL2SQL payload
