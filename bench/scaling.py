@@ -188,14 +188,21 @@ faithful stand-in. Raw 8→32 numbers: extract 10.5s→6.9s (eff 0.38 at
 **Scaling efficiency (extraction stage) = (thr_4N / thr_N) / 4 =
 {eff_extract:.3f}** (target ≥ 0.8).
 
-Full-pipeline efficiency = {eff_full:.3f}. The gap vs extraction is a
-single-box artifact twice over: (a) the post-extraction stages
-(dedup/CC/materialize) are shuffle-bound, and shuffle bandwidth on one
-machine is a shared disk that does not grow with cores — on a real
-cluster shuffle scales with machines; (b) the synthetic alias graph is
-O(vocabulary) = 200 names, so the CC stage is fixed-cost iterations
-with nothing to parallelize. Extraction is the corpus-proportional term
-that dominates at 10^12 files.
+Full-pipeline efficiency = {eff_full:.3f} (r01: 0.564 with a ~60-70s
+parallelism-independent fixed cost; r02 removed it — tiered CC takes a
+driver union-find fast path for small alias dictionaries, the canonical
+boundary lost its two widest columns + regained row clustering
+(1.7 GB → ~0.4 GB written), and the linking/relational scans
+partition-prune). The remaining gap vs extraction is the single-box
+artifact: every post-extraction stage shuffles or writes through ONE
+shared local disk whose bandwidth does not grow with cores — on a real
+cluster shuffle and write bandwidth scale with machines. Extraction is
+the corpus-proportional term that dominates at 10^12 files.
+
+Per-stage walls (lineage.jsonl of the recorded runs) decompose the
+full-pipeline number: extraction scales ~2.8x on 4x cores, the
+canonical-edges shuffle+write ~1.8x (disk-bound), CC is ~2.5s flat at
+either level (was ~60s of per-round job latency before the fast path).
 """
     with open(os.path.join(REPO, "bench", "BASELINE.md"), "w") as f:
         f.write(md)

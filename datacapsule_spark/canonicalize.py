@@ -149,7 +149,11 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
 
 
 def apply_canonical(
-    df: DataFrame, mapping: DataFrame, cols: list[str], broadcast: bool = True
+    df: DataFrame,
+    mapping: DataFrame,
+    cols: list[str],
+    broadcast: bool = True,
+    flag: str | None = None,
 ) -> DataFrame:
     """Rewrite id columns through the canonical mapping (left join +
     coalesce — ids not in any component map to themselves).
@@ -158,6 +162,12 @@ def apply_canonical(
     orders of magnitude smaller than the triple stream — broadcast it
     so the rewrite is map-side (no shuffle of df). Pass broadcast=False
     only if the alias map outgrows executor memory.
+
+    flag: optional boolean output column, true iff ANY of `cols` hit
+    the mapping (including identity hits on canonical ids themselves —
+    the mapping contains its roots). Rows with flag=false provably
+    cannot collide with any other row post-rewrite, which is what lets
+    the pipeline shuffle only the collision-prone stream.
     """
     out = df
     for c in cols:
@@ -166,9 +176,15 @@ def apply_canonical(
         )
         if broadcast:
             m = F.broadcast(m)
-        out = (
-            out.join(m, c, "left")
-            .withColumn(c, F.coalesce(F.col(f"_canon_{c}"), F.col(c)))
-            .drop(f"_canon_{c}")
-        )
+        out = out.join(m, c, "left")
+        if flag:
+            out = out.withColumn(f"_hit_{c}", F.col(f"_canon_{c}").isNotNull())
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"_canon_{c}"), F.col(c))
+        ).drop(f"_canon_{c}")
+    if flag:
+        cond = F.lit(False)
+        for c in cols:
+            cond = cond | F.col(f"_hit_{c}")
+        out = out.withColumn(flag, cond).drop(*[f"_hit_{c}" for c in cols])
     return out

@@ -55,6 +55,27 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+def canonical_edges(triples: DataFrame, mapping) -> DataFrame:
+    """Canonical rewrite + dedup of ONLY the collision-prone stream.
+
+    Extraction dedups (subj, pred, obj) within each file
+    (extraction_schema.py:255-261) and every non-`contains` subj is the
+    file id, so a row can be a duplicate only if (a) pred == contains
+    (taxonomy chains re-emitted per file) or (b) its subj/obj HIT the
+    alias mapping — the mapping contains its own roots, so BOTH sides
+    of any potential collision flag. Everything else streams map-side
+    into the sink with no shuffle. Output ≡ dedup_triples(rewrite(all))
+    (equivalence-tested); sortWithinPartitions(subj) re-clusters rows
+    for parquet encoding."""
+    from .canonicalize import apply_canonical
+
+    t = apply_canonical(triples, mapping, ["subj", "obj"], flag="_hit")
+    dup_prone = (F.col("pred") == "contains") | F.col("_hit")
+    deduped = dedup_triples(t.where(dup_prone).drop("_hit"))
+    passthrough = t.where(~dup_prone).drop("_hit")
+    return deduped.unionByName(passthrough).sortWithinPartitions("subj")
+
+
 def build_nodes(triples: DataFrame) -> DataFrame:
     """Union of subj and obj projections, attr-merged per node_id.
 
@@ -97,11 +118,19 @@ def relation_histogram(edges: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------------- relational
 
-def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
+def build_relational(
+    triples: DataFrame, assume_unique: bool = False
+) -> dict[str, DataFrame]:
     """Pivot triples_raw into the 4-table schema of
     tools/entity_extraction_db.py:85-137 (species→entities,
     distributions→entity_mentions, numerical_traits→numerical_facts,
-    descriptions→descriptions)."""
+    descriptions→descriptions).
+
+    assume_unique=True skips the mentions/descriptions dedup shuffles:
+    their projections are injective per (subj, pred, obj), so input
+    already distinct on the triple key (the pipeline's canonical
+    boundary) needs no re-dedup — measured 26s@4 / 13s@16 cores bought
+    back at 29.6M triples."""
     files = triples.where(F.col("subj_type") == "file")
 
     # entities ≈ species: one row per file entity, with year/author attrs
@@ -149,17 +178,17 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
     # key as entities.entity_id, so the FK joins (the distributions shape:
     # distributions.species_id → species.id, entity_extraction_db.py:
     # 96-104); the referenced symbol is the value column `target`.
-    mentions = (
-        triples.where(F.col("pred").isin("imports", "calls", "defines_function", "defines_class"))
-        .select(
-            F.xxhash64("subj").alias("entity_id"),
-            F.col("obj").alias("target"),
-            "repo",
-            "path",
-            F.col("pred").alias("kind"),
-        )
-        .distinct()
+    mentions = triples.where(
+        F.col("pred").isin("imports", "calls", "defines_function", "defines_class")
+    ).select(
+        F.xxhash64("subj").alias("entity_id"),
+        F.col("obj").alias("target"),
+        "repo",
+        "path",
+        F.col("pred").alias("kind"),
     )
+    if not assume_unique:
+        mentions = mentions.distinct()
 
     # numerical_facts ≈ numerical_traits (REAL value + unit)
     facts = (
@@ -174,16 +203,16 @@ def build_relational(triples: DataFrame) -> dict[str, DataFrame]:
         )
     )
 
-    # descriptions ≈ raw-text payloads (X7 fallbacks + provenance)
-    descriptions = (
-        triples.where(F.col("obj_type") == "raw")
-        .select(
-            F.xxhash64("subj").alias("entity_id"),
-            F.lit("raw_fallback").alias("description_type"),
-            F.regexp_replace("obj", "^raw:", "").alias("content"),
-        )
-        .distinct()
+    # descriptions ≈ raw-text payloads (X7 fallbacks + provenance);
+    # raw: objs occur only under `imports` (extraction_schema.py:313),
+    # so the projection is injective per triple too
+    descriptions = triples.where(F.col("obj_type") == "raw").select(
+        F.xxhash64("subj").alias("entity_id"),
+        F.lit("raw_fallback").alias("description_type"),
+        F.regexp_replace("obj", "^raw:", "").alias("content"),
     )
+    if not assume_unique:
+        descriptions = descriptions.distinct()
 
     return {
         "entities": entities,

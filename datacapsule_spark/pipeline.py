@@ -20,7 +20,7 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .canonicalize import apply_canonical, connected_components
+from .canonicalize import connected_components
 from .extract import extract_triples
 from .lineage import StageTracker, input_signature
 from .linking import alias_pairs
@@ -28,7 +28,7 @@ from .materialize import (
     build_edges,
     build_nodes,
     build_relational,
-    dedup_triples,
+    canonical_edges,
     node_type_histogram,
     relation_histogram,
     write_graph,
@@ -122,23 +122,24 @@ def run_pipeline(
         "30_canonicalize", lambda: connected_components(pairs, "a", "b"), params=down
     )
 
-    # ONE post-canonicalization pass: broadcast rewrite + the single
-    # dedup shuffle, written once. This boundary IS the canonical triple
-    # set AND (modulo projection) the edges table. Two I/O choices that
-    # measured 4x on the boundary size (1.7 GB -> ~0.4 GB at 29.6M
-    # triples): (a) commit + content_sha256 are dropped — nothing
+    # ONE post-canonicalization pass: broadcast rewrite + dedup of only
+    # the collision-prone stream (materialize.canonical_edges), written
+    # once. This boundary IS the canonical triple set AND (modulo
+    # projection) the edges table. On this synthetic corpus every
+    # symbol has a planted alias so the split-stream saves ~15%; on
+    # real corpora most symbols are unlinked and the shuffled fraction
+    # collapses toward the contains edges.
+    #
+    # commit + content_sha256 are dropped before the stage: nothing
     # downstream reads them, and the sha is 64 high-entropy chars/row
-    # that stop compressing once the shuffle scatters rows; (b)
-    # sortWithinPartitions(subj) re-clusters each reducer's rows by
-    # file so provenance strings dictionary/RLE-encode again (no extra
-    # shuffle — a per-partition sort on data already in memory).
+    # that stop compressing once shuffled — with the in-partition
+    # re-sort this measured 4x on boundary size (1.7 GB -> ~0.4 GB at
+    # 29.6M triples).
     canon_triples = tracker.materialize(
         "40_canon_edges",
-        lambda: dedup_triples(
-            apply_canonical(
-                triples.drop("commit", "content_sha256"), mapping, ["subj", "obj"]
-            )
-        ).sortWithinPartitions("subj"),
+        lambda: canonical_edges(
+            triples.drop("commit", "content_sha256"), mapping
+        ),
         partition_by=["pred"],
         params=down,
     )
@@ -151,7 +152,7 @@ def run_pipeline(
     # stage re-wrote and re-read the full triple stream for a rename)
     edges = build_edges(canon_triples, assume_unique=True)
 
-    rel = build_relational(canon_triples)
+    rel = build_relational(canon_triples, assume_unique=True)
     rel_out = {}
     for name, df in rel.items():
         rel_out[name] = tracker.materialize(

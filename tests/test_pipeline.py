@@ -134,6 +134,44 @@ def test_pipeline_skips_completed_stages(spark, smoke_repos, tmp_path, monkeypat
     assert out["triples"].count() > 0
 
 
+def test_split_stream_canon_equals_full_dedup(spark, smoke_repos):
+    """canonical_edges shuffles only the collision-prone stream — its
+    output must equal the brute-force rewrite-everything-then-dedup,
+    including the alias-collision case (a file referencing BOTH
+    variants of a linked name) and the contains-chain duplicates."""
+    from datacapsule_spark.canonicalize import apply_canonical, connected_components
+    from datacapsule_spark.extract import extract_triples
+    from datacapsule_spark.linking import alias_pairs
+    from datacapsule_spark.materialize import canonical_edges, dedup_triples
+
+    triples = extract_triples(smoke_repos.limit(120)).drop(
+        "commit", "content_sha256"
+    ).localCheckpoint(eager=True)
+    names = (
+        triples.where(F.col("obj_type") == "symbol")
+        .select(F.col("obj").alias("name"))
+        .distinct()
+    )
+    mapping = connected_components(
+        alias_pairs(names, use_lsh=False), "a", "b"
+    ).localCheckpoint(eager=True)
+    assert mapping.count() > 0  # the corpus plants alias variants
+
+    split = sorted(
+        map(tuple, canonical_edges(triples, mapping).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            dedup_triples(
+                apply_canonical(triples, mapping, ["subj", "obj"])
+            ).collect(),
+        )
+    )
+    assert split == full
+    assert len(split) == len({(s, p, o) for s, p, o, *_ in split})
+
+
 def test_iceberg_branch_is_code_not_prose(spark, tmp_path):
     """The iceberg=True paths exist as executable branches: with no
     catalog on the session (this sandbox) they must fail fast with
