@@ -55,14 +55,24 @@ def _word_shingles(text_col: str, n: int = 3) -> F.Column:
 
 
 def shingle_rows(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word-n-gram shingles as ROWS (doc_id, g).
+    """Word-n-gram shingles as ROWS (doc_id, g).
 
     posexplode + window-lead instead of array HOFs: per-element lambda
     evaluation (transform/element_at with dynamic ordinals) drops out
     of whole-stage codegen and costs ~10× — measured 23s → 1.5s on 260k
-    shingles. One shuffle on doc_id (the window), then distinct.
+    shingles.
+
+    distinct=False skips the per-(doc_id, g) dedup SHUFFLE for
+    consumers that are duplicate-invariant (min in minhash_signatures,
+    collect_set in with_shingles) — the rows then stay partitioned by
+    doc_id from the window, so a following groupBy(doc_id) needs no
+    re-exchange: the whole shingle→signature path runs on ONE shuffle.
     """
     from pyspark.sql import Window
 
@@ -79,11 +89,10 @@ def shingle_rows(
         *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)],
     )
     gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-    return (
-        leads.where(F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True))
-        .select("doc_id", gram.alias("g"))
-        .distinct()
-    )
+    out = leads.where(
+        F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)
+    ).select("doc_id", gram.alias("g"))
+    return out.distinct() if distinct else out
 
 
 def with_shingles(
@@ -93,8 +102,8 @@ def with_shingles(
     """Shingles as an array column (collect_set over shingle_rows),
     re-joined onto the input. Docs with < n tokens get an empty array."""
     arrs = (
-        shingle_rows(docs, text_col, id_col, n)
-        .groupBy("doc_id")
+        shingle_rows(docs, text_col, id_col, n, distinct=False)
+        .groupBy("doc_id")  # collect_set dedups; no pre-distinct shuffle
         .agg(F.collect_set("g").alias(out_col))
         .withColumnRenamed("doc_id", id_col)
     )
@@ -128,8 +137,8 @@ def minhash_signatures(
     the DuckDB oracle with list_transform/list_min."""
     # shingle rows + hash-aggregate: min-per-hash runs in whole-stage
     # codegen (nested transform() closures drop to interpreted eval)
-    exploded = shingle_rows(docs, text_col, id_col, shingle_n)
-    mins = exploded.groupBy("doc_id").agg(
+    exploded = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
+    mins = exploded.groupBy("doc_id").agg(  # min is duplicate-invariant
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
             for i in range(n_hashes)

@@ -128,6 +128,17 @@ def test_embedding_dedup_default_no_nested_loop(spark):
     assert r2.nested_loop_joins + r2.cartesian_products >= 1, r2.text
 
 
+def test_minhash_signature_single_shuffle(spark):
+    """shingle→signature must run on ONE shuffle: the window partitions
+    by doc_id and the min-aggregate is duplicate-invariant, so neither a
+    pre-distinct nor a re-exchange before groupBy(doc_id) is allowed."""
+    from datacapsule_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    r = explain_report(minhash_signatures(d))
+    assert r.exchanges == 1, r.text
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 
