@@ -1,0 +1,228 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond-the-reference operators (SURVEY §2.9 extension) in the CCNet /
+Gopher / C4 family, each expressed as DataFrame ops with a DuckDB-
+reproducible contract (md5 hashing, integer thresholds — no float
+drift across engines):
+
+- boilerplate_strip: drop text segments that occur in >= k distinct
+  documents (CCNet-style line dedup generalized to any segmentation).
+  Scale shape: one shuffle keyed on segment hash to build the global
+  document-frequency table; the *filtered* boilerplate set (df >= k)
+  is small by construction and broadcast back — the corpus itself is
+  never re-shuffled for the strip.
+- decontaminate: flag training docs sharing word n-grams with a
+  benchmark set (train/test overlap screening). The benchmark gram
+  set is tiny vs the corpus and broadcast; the corpus-side shingle
+  expansion stays on the scan partitions.
+- gopher_quality: repetition / word-shape heuristics from Gopher
+  (Rae et al. 2021, arXiv:2112.11446): mean word length, symbol
+  ratio, unique-token fraction, top-bigram fraction.
+- sample_by_hash: deterministic Bernoulli sampling by md5(salt||key)
+  — reproducible across engines/runs, unlike rand()-based sampling;
+  an integer threshold avoids float-boundary drift.
+- per_source_quota: at most n docs per source, picked by a
+  deterministic hash order (stratified downsampling; the window sort
+  is per-source and spills, never global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+
+
+def boilerplate_strip(
+    segments: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    idx_col: str = "seg_idx",
+    seg_col: str = "seg",
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Remove segments occurring in >= min_docs distinct documents.
+
+    Input: one row per (doc_id, seg_idx, seg) — any segmentation
+    (newline split, sentence split, fixed token windows from
+    text.chunk_documents). Output: one row per doc with the
+    reassembled clean_text plus kept/dropped counts.
+
+    Plan: groupBy(md5(seg)) → countDistinct(doc_id) is the only
+    corpus-sized shuffle; `boiler` (hashes with df >= min_docs) is
+    broadcast for the strip join, so segments are filtered in place,
+    then one groupBy(doc_id) reassembles. At 100 TB, if the
+    boilerplate set outgrows the broadcast threshold pass
+    broadcast_boiler=False and let AQE pick the strategy.
+    """
+    seg_hash = F.md5(F.col(seg_col))
+    segs = segments.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(idx_col).alias("seg_idx"),
+        F.col(seg_col).alias("seg"),
+        seg_hash.alias("_h"),
+    )
+    boiler = (
+        segs.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("_h", F.lit(True).alias("_boiler"))
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    flagged = segs.join(boiler, "_h", "left").withColumn(
+        "_boiler", F.coalesce("_boiler", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_boiler"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )  # collect_list skips the NULLs (dropped segments)
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+        ).alias("clean_text"),
+        F.sum((~F.col("_boiler")).cast("int")).alias("n_kept"),
+        F.sum(F.col("_boiler").cast("int")).alias("n_dropped"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-overlap screening: per training doc, the number of
+    distinct word n-grams it shares with ANY benchmark document, and a
+    contaminated flag at min_hits.
+
+    The benchmark gram dictionary (distinct grams over the eval set)
+    is broadcast — eval suites are MBs against a 100 TB corpus — so
+    the only corpus-sized work is the shingle expansion + one
+    groupBy(doc_id)."""
+    bench_grams = F.broadcast(
+        shingle_rows(benchmark, text_col, id_col, shingle_n).select("g").distinct()
+    )
+    hits = (
+        shingle_rows(docs, text_col, id_col, shingle_n)
+        .join(bench_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality metrics (arXiv:2112.11446 §A1.1) as pure
+    column expressions plus one doc-keyed aggregation:
+
+    - mean_word_len: sum(len(token))/n_tokens (rule: in [3, 10])
+    - symbol_ratio: non-[A-Za-z0-9 ] chars / chars (rule: < 0.1)
+    - unique_frac: distinct tokens / tokens (repetition screen)
+    - top_bigram_frac: occurrences of the modal bigram / bigrams
+      (rule: < 0.2) — the one metric needing a shuffle; computed via
+      bigram rows → count → max, keyed on doc_id throughout.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")).alias(
+            "_sym"
+        ),
+    ).select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        (
+            F.aggregate("_t", F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size("_t"), F.lit(1))
+        ).alias("_mwl"),
+        (F.col("_sym") / F.greatest("n_chars", F.lit(1))).alias("_symr"),
+        (
+            F.size(F.array_distinct("_t")) / F.greatest(F.size("_t"), F.lit(1))
+        ).alias("_uniq"),
+    )
+    bigrams = shingle_rows(docs, text_col, id_col, n=2, distinct=False)
+    top_bg = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top"), F.sum("c").alias("_nbg"))
+    )
+    j = base.join(top_bg, "doc_id", "left")
+    top_frac = F.coalesce(F.col("_top") / F.col("_nbg"), F.lit(0.0))
+    passes = (
+        F.col("_mwl").between(3.0, 10.0)
+        & (F.col("_symr") < 0.1)
+        & (F.col("_uniq") >= 0.2)
+        & (top_frac < 0.2)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round("_symr", 6).alias("symbol_ratio"),
+        F.round("_uniq", 6).alias("unique_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# integer threshold domain for sample_by_hash: first 8 md5 hex chars
+_HASH_SPACE = 1 << 32
+
+
+def sample_by_hash(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows where the first 32
+    bits of md5(salt || key) fall under floor(rate * 2^32). Same rows
+    every run and in any engine with md5 — unlike df.sample(), which
+    is seed- and partitioning-dependent. Pure filter: no shuffle, and
+    it pushes past column pruning to the scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * _HASH_SPACE)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.where(h < F.lit(threshold))
+
+
+def per_source_quota(
+    docs: DataFrame,
+    n: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Stratified downsampling: at most n rows per source, chosen by
+    deterministic hash order (md5(salt || id), id as tiebreak). One
+    shuffle on source; per-group top-n compiles to a rank-filtered
+    window (partial sort, no global order)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

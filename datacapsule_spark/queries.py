@@ -602,6 +602,68 @@ def text_chunks(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Corpus-curation suite over `documents` (CCNet / Gopher / C4 family)
+# --------------------------------------------------------------------------
+
+def curation_boilerplate_strip(spark, sf_dir):
+    """CCNet-style boilerplate removal: segment docs into fixed 8-token
+    windows, drop every segment occurring in >= 2 distinct docs
+    (globally), reassemble. Boilerplate set is broadcast back."""
+    from .operators.curation import boilerplate_strip
+    from .operators.text import chunk_documents
+
+    segs = chunk_documents(_docs(spark, sf_dir), size=8, stride=8).select(
+        "doc_id",
+        F.col("chunk_idx").alias("seg_idx"),
+        F.col("chunk").alias("seg"),
+    )
+    return boilerplate_strip(segs, min_docs=2)
+
+
+def curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; every other doc is scored by how many distinct
+    word-3-grams it shares with ANY benchmark doc."""
+    from .operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, shingle_n=3, min_hits=1)
+
+
+def text_gopher_quality(spark, sf_dir):
+    """Gopher repetition/word-shape rules (mean word length, symbol
+    ratio, unique-token fraction, top-bigram fraction) + pass flag."""
+    from .operators.curation import gopher_quality
+
+    g = gopher_quality(_docs(spark, sf_dir))
+    return g.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+def sample_docs_hash(spark, sf_dir):
+    """Deterministic Bernoulli sample at rate 0.25 keyed on
+    md5('s1' || doc_id) — reproducible across engines and runs."""
+    from .operators.curation import sample_by_hash
+
+    d = _t(spark, sf_dir, "documents")  # pure filter: no repartition
+    return sample_by_hash(d, 0.25, "doc_id", salt="s1").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def sample_per_source_topn(spark, sf_dir):
+    """Stratified quota sampling: 3 docs per source in deterministic
+    hash order (window top-n per group)."""
+    from .operators.curation import per_source_quota
+
+    d = _t(spark, sf_dir, "documents")
+    return per_source_quota(d, 3, salt="s2").select(
+        "source", F.col("sample_rank").cast("bigint").alias("sample_rank"), "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # Vector search suite over `embeddings` (SURVEY G7, F10, J6)
 # --------------------------------------------------------------------------
 
@@ -807,6 +869,11 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_chunks": text_chunks,
+    "curation_boilerplate_strip": curation_boilerplate_strip,
+    "curation_decontaminate": curation_decontaminate,
+    "text_gopher_quality": text_gopher_quality,
+    "sample_docs_hash": sample_docs_hash,
+    "sample_per_source_topn": sample_per_source_topn,
     "vector_topk": vector_topk,
     "vector_knn_batch": vector_knn_batch,
     "vector_label_centroid_sim": vector_label_centroid_sim,
@@ -1229,6 +1296,103 @@ SELECT c.a, c.b,
 FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
 WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE /
       len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.5
+"""
+)
+
+_o("curation_boilerplate_strip")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), segi AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+  FROM toks
+), seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM segi
+), boiler AS (
+  SELECT md5(seg) AS h FROM seg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, (b.h IS NOT NULL) AS is_b
+  FROM seg s LEFT JOIN boiler b ON md5(s.seg) = b.h
+)
+SELECT doc_id,
+       coalesce(array_to_string(list(seg ORDER BY seg_idx)
+                                FILTER (WHERE NOT is_b), ' '), '') AS clean_text,
+       sum(CASE WHEN is_b THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+       sum(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+)
+
+_o("curation_decontaminate")(
+    _SHINGLES_CTE
+    + """
+, bench AS (
+  SELECT list_distinct(flatten(list(grams))) AS bg FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id,
+       len(list_intersect(s.grams, b.bg))::BIGINT AS n_hits,
+       len(list_intersect(s.grams, b.bg)) >= 1 AS contaminated
+FROM sh s CROSS JOIN bench b
+WHERE s.doc_id % 97 <> 0
+"""
+)
+
+_o("text_gopher_quality")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS sym
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1
+)
+SELECT k.doc_id,
+       len(k.t)::BIGINT AS n_tokens,
+       round(list_aggregate(list_transform(k.t, x -> len(x)), 'sum')
+             / greatest(len(k.t), 1), 6) AS mean_word_len,
+       round(k.sym / greatest(k.n_chars, 1), 6) AS symbol_ratio,
+       round(len(list_distinct(k.t)) / greatest(len(k.t), 1), 6) AS unique_frac,
+       round(coalesce(top.topc / top.nbg, 0.0), 6) AS top_bigram_frac,
+       (list_aggregate(list_transform(k.t, x -> len(x)), 'sum')
+          / greatest(len(k.t), 1) BETWEEN 3.0 AND 10.0
+        AND k.sym / greatest(k.n_chars, 1) < 0.1
+        AND len(list_distinct(k.t)) / greatest(len(k.t), 1) >= 0.2
+        AND coalesce(top.topc / top.nbg, 0.0) < 0.2) AS passes_gopher
+FROM toks k LEFT JOIN top ON k.doc_id = top.doc_id
+"""
+)
+
+_o("sample_docs_hash")(
+    """
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 8))::UBIGINT < 1073741824
+"""
+)
+
+_o("sample_per_source_topn")(
+    """
+SELECT source, sample_rank, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('s2' || doc_id::VARCHAR), doc_id)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 3
 """
 )
 

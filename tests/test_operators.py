@@ -526,3 +526,115 @@ class TestTraverse:
         out = get_adjacent_descriptions(nodes, edges, names).collect()
         assert len(out) == 1
         assert set(out[0]["descriptions"]) == {"a.py", "b.py"}
+
+
+class TestCuration:
+    def test_boilerplate_strip(self, spark):
+        from datacapsule_spark.operators.curation import boilerplate_strip
+
+        segs = spark.createDataFrame(
+            [
+                (1, 0, "keep me one"),
+                (1, 1, "shared boiler"),
+                (1, 2, "keep me two"),
+                (2, 0, "shared boiler"),
+                (2, 1, "unique middle"),
+                (3, 0, "shared boiler"),  # doc 3 is ALL boilerplate
+            ],
+            "doc_id long, seg_idx int, seg string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in boilerplate_strip(segs, min_docs=2).collect()
+        }
+        assert out[1]["clean_text"] == "keep me one keep me two"  # order kept
+        assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+        assert out[2]["clean_text"] == "unique middle"
+        assert out[3]["clean_text"] == ""  # row survives with empty text
+        assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+    def test_boilerplate_strip_within_doc_repeat_not_boiler(self, spark):
+        # a segment repeated inside ONE doc has df=1 -> not boilerplate
+        from datacapsule_spark.operators.curation import boilerplate_strip
+
+        segs = spark.createDataFrame(
+            [(1, 0, "la la"), (1, 1, "la la")],
+            "doc_id long, seg_idx int, seg string",
+        )
+        row = boilerplate_strip(segs, min_docs=2).collect()[0]
+        assert row["clean_text"] == "la la la la"
+        assert row["n_dropped"] == 0
+
+    def test_decontaminate(self, spark):
+        from datacapsule_spark.operators.curation import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma something else"),  # shares 2 3-grams? no: 1
+                (2, "totally clean document text here"),
+                (3, "x alpha beta gamma delta y"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in decontaminate(train, bench, shingle_n=3).collect()
+        }
+        assert out[1]["n_hits"] == 1 and out[1]["contaminated"]
+        assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+        assert out[3]["n_hits"] == 2 and out[3]["contaminated"]
+
+    def test_gopher_quality_repetition(self, spark):
+        from datacapsule_spark.operators.curation import gopher_quality
+
+        d = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam"),
+                (2, "a genuinely varied sentence with distinct informative words"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in gopher_quality(d).collect()}
+        # doc 1: one bigram ("spam spam") repeated 5x -> frac 1.0, fails
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[1]["unique_frac"] == pytest.approx(1 / 6, abs=1e-6)
+        assert not out[1]["passes_gopher"]
+        assert out[2]["passes_gopher"]
+        assert out[2]["mean_word_len"] == pytest.approx(
+            sum(map(len, out2s := "a genuinely varied sentence with distinct informative words".split()))
+            / len(out2s),
+            abs=1e-6,
+        )
+
+    def test_sample_by_hash_deterministic_and_nested(self, spark):
+        from datacapsule_spark.operators.curation import sample_by_hash
+
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        s25 = {r["doc_id"] for r in sample_by_hash(d, 0.25, "doc_id", "z").collect()}
+        s25b = {r["doc_id"] for r in sample_by_hash(d, 0.25, "doc_id", "z").collect()}
+        s50 = {r["doc_id"] for r in sample_by_hash(d, 0.50, "doc_id", "z").collect()}
+        assert s25 == s25b  # deterministic
+        assert s25 <= s50  # threshold sampling nests across rates
+        assert 150 < len(s25) < 350 and 400 < len(s50) < 600
+        assert len({r["doc_id"] for r in sample_by_hash(d, 0.0, "doc_id").collect()}) == 0
+        assert len({r["doc_id"] for r in sample_by_hash(d, 1.0, "doc_id").collect()}) == 1000
+        with pytest.raises(ValueError):
+            sample_by_hash(d, 1.5, "doc_id")
+
+    def test_per_source_quota(self, spark):
+        from datacapsule_spark.operators.curation import per_source_quota
+
+        d = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+        )
+        out = per_source_quota(d, 4).collect()
+        assert len(out) == 12
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["sample_rank"])
+        assert all(sorted(v) == [1, 2, 3, 4] for v in by_src.values())
+        # deterministic pick
+        again = {(r["source"], r["doc_id"]) for r in per_source_quota(d, 4).collect()}
+        assert again == {(r["source"], r["doc_id"]) for r in out}

@@ -139,6 +139,38 @@ def test_minhash_signature_single_shuffle(spark):
     assert r.exchanges == 1, r.text
 
 
+def test_boilerplate_strip_broadcasts_boiler_set(spark):
+    """The global df-filtered boilerplate set must come back as a
+    BROADCAST join — the corpus-sized segment table is never
+    re-shuffled for the strip."""
+    r = explain_report(QUERIES["curation_boilerplate_strip"](spark, SF))
+    assert r.broadcast_joins >= 1, r.text
+    assert r.sort_merge_joins == 0, r.text
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    r = explain_report(QUERIES["curation_decontaminate"](spark, SF))
+    assert r.broadcast_joins >= 1, r.text
+    assert r.cartesian_products == 0, r.text
+
+
+def test_sample_by_hash_no_shuffle(spark, tmp_path):
+    """Hash sampling is a pure filter: with enough input splits the
+    plan carries ZERO exchanges."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.operators.curation import sample_by_hash
+
+    par = spark.sparkContext.defaultParallelism
+    wide_dir = str(tmp_path / "sample_wide")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(par * 2).write.parquet(
+        wide_dir
+    )
+    d = spark.read.parquet(wide_dir)
+    r = explain_report(sample_by_hash(d, 0.25, "doc_id", "s1").select("doc_id"))
+    assert r.exchanges == 0, r.text
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 
