@@ -30,6 +30,8 @@ HEADLINE = [
     "dedup_simhash_docs",
     "text_quality",
     "text_fingerprint",
+    "text_gopher_quality",
+    "curation_boilerplate_strip",
     "vector_topk",
     "vector_knn_batch",
     "kg_triples_documents",

@@ -219,6 +219,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    max_df: int = 10,
+) -> DataFrame:
+    """Substring-containment dedup: (inner_id, outer_id) pairs where
+    inner's text is a verbatim substring of outer's (lowercased,
+    trimmed) — catches quote-inclusion / wrapper-page duplication that
+    Jaccard misses when lengths differ a lot.
+
+    Blocking: candidate pairs must share a RARE shingle — one with
+    document frequency in [2, max_df]. The df cap bounds per-key
+    fanout, so candidate volume is sum over rare shingles of df², and
+    frequent shingles never generate pairs; no stage is O(n²). Verify:
+    exact JVM-side contains() on the two texts, fetched by id-keyed
+    joins. Ties (equal text) emit only inner_id < outer_id; docs
+    shorter than shingle_n tokens produce no shingles and are never
+    candidates (screen those with exact_dedup first)."""
+    sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )  # consumed by the rare-df agg and both self-join sides
+    rare = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("gdf"))
+        .where((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
+        .select("g")
+    )
+    csh = sh.join(rare, "g")
+    cand = (
+        csh.alias("l")
+        .join(
+            csh.alias("r"),
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("inner_id"), F.col("r.doc_id").alias("outer_id"))
+        .distinct()
+    )
+    txt = docs.select(
+        F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_lt")
+    )
+    a = txt.select(F.col("_id").alias("inner_id"), F.col("_lt").alias("_ta"))
+    b = txt.select(F.col("_id").alias("outer_id"), F.col("_lt").alias("_tb"))
+    return (
+        cand.join(a, "inner_id")
+        .join(b, "outer_id")
+        .where(
+            F.col("_tb").contains(F.col("_ta"))
+            & (
+                (F.col("_ta") != F.col("_tb"))
+                | (F.col("inner_id") < F.col("outer_id"))
+            )
+        )
+        .select("inner_id", "outer_id")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: per-token 64-bit hash from md5 hex
     (first 16 hex chars → bigint via conv), bit-majority aggregated.

@@ -153,6 +153,43 @@ def chunk_documents(
     )
 
 
+def token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary statistics: per token, total frequency (tf),
+    document frequency (df), and smoothed idf = ln((N+1)/(df+1)) + 1 —
+    the table behind stopword lists, TF-IDF weighting, and tokenizer
+    corpus analysis.
+
+    Shuffle profile: Spark's two-phase distinct aggregation keys the
+    first exchange on (tok, doc_id) — hot tokens ("the") spread across
+    partitions before the per-token rollup, so token skew never
+    concentrates on one reducer. N (doc count) is a driver scalar from
+    a count-only scan."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1, 6
+            ),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token list (Broder-sketch-lite; detects shuffled dupes)."""

@@ -663,6 +663,21 @@ def sample_per_source_topn(spark, sf_dir):
     )
 
 
+def corpus_token_stats(spark, sf_dir):
+    """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
+    from .operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir), min_df=3)
+
+
+def dedup_containment_docs(spark, sf_dir):
+    """Substring-containment pairs via rare-shingle blocking +
+    exact contains() verify."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), shingle_n=5, max_df=10)
+
+
 # --------------------------------------------------------------------------
 # Vector search suite over `embeddings` (SURVEY G7, F10, J6)
 # --------------------------------------------------------------------------
@@ -874,6 +889,8 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "sample_docs_hash": sample_docs_hash,
     "sample_per_source_topn": sample_per_source_topn,
+    "corpus_token_stats": corpus_token_stats,
+    "dedup_containment_docs": dedup_containment_docs,
     "vector_topk": vector_topk,
     "vector_knn_batch": vector_knn_batch,
     "vector_label_centroid_sim": vector_label_centroid_sim,
@@ -1393,6 +1410,46 @@ SELECT source, sample_rank, doc_id FROM (
            AS sample_rank
   FROM documents)
 WHERE sample_rank <= 3
+"""
+)
+
+_o("corpus_token_stats")(
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df,
+       round(ln(((SELECT count(*) FROM documents) + 1.0)
+                / (count(DISTINCT doc_id) + 1)) + 1, 6) AS idf
+FROM toks WHERE tok <> ''
+GROUP BY tok HAVING count(DISTINCT doc_id) >= 3
+"""
+)
+
+_o("dedup_containment_docs")(
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(t[i:i+4], ' ')))) AS g
+  FROM toks
+), rare AS (
+  SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10
+), cand AS (
+  SELECT DISTINCT l.doc_id AS inner_id, r.doc_id AS outer_id
+  FROM sh l JOIN rare ON l.g = rare.g JOIN sh r ON r.g = rare.g
+  WHERE l.doc_id <> r.doc_id
+), d AS (
+  SELECT doc_id, lower(trim(text)) AS lt FROM documents
+)
+SELECT c.inner_id, c.outer_id
+FROM cand c JOIN d da ON da.doc_id = c.inner_id
+            JOIN d db ON db.doc_id = c.outer_id
+WHERE position(da.lt IN db.lt) > 0
+  AND (da.lt <> db.lt OR c.inner_id < c.outer_id)
 """
 )
 

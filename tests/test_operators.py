@@ -638,3 +638,45 @@ class TestCuration:
         # deterministic pick
         again = {(r["source"], r["doc_id"]) for r in per_source_quota(d, 4).collect()}
         assert again == {(r["source"], r["doc_id"]) for r in out}
+
+    def test_containment_pairs(self, spark):
+        from datacapsule_spark.operators.dedup import containment_pairs
+
+        d = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "PREFIX alpha beta gamma delta epsilon zeta SUFFIX"),
+                (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+                (4, "unrelated words that never overlap anything else at all"),
+                (5, "casefold ALPHA BETA GAMMA DELTA EPSILON ZETA test"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["inner_id"], r["outer_id"])
+            for r in containment_pairs(d, shingle_n=5, max_df=10).collect()
+        }
+        # 1 and 3 inside 2 and 5 (case-insensitive); equal texts tie a<b
+        assert (1, 2) in got and (3, 2) in got
+        assert (1, 5) in got and (3, 5) in got
+        assert (1, 3) in got and (3, 1) not in got
+        assert not any(4 in p for p in got)
+        assert (2, 1) not in got  # containment is directional
+
+    def test_token_stats(self, spark):
+        from datacapsule_spark.operators.text import token_stats
+
+        import math
+
+        d = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "b b b")],
+            "doc_id long, text string",
+        )
+        out = {r["tok"]: r for r in token_stats(d).collect()}
+        assert (out["a"]["tf"], out["a"]["df"]) == (3, 2)
+        assert (out["b"]["tf"], out["b"]["df"]) == (4, 2)
+        assert (out["c"]["tf"], out["c"]["df"]) == (1, 1)
+        assert out["a"]["idf"] == pytest.approx(math.log(4 / 3) + 1, abs=1e-6)
+        assert set(
+            r["tok"] for r in token_stats(d, min_df=2).collect()
+        ) == {"a", "b"}
