@@ -219,6 +219,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Surviving corpus after MinHash-LSH near-dup removal: banded LSH
+    candidate pairs → (optional) exact n-gram Jaccard gate → connected
+    components → keep the minimum id per duplicate cluster, drop the
+    rest with one anti-join.
+
+    min_jaccard=None accepts every LSH collision (cheap, slightly
+    over-drops); set a threshold to re-score candidates exactly before
+    clustering. CC runs on the PAIR set (orders of magnitude smaller
+    than the corpus — canonicalize.connected_components tiers between
+    driver union-find and large-star/small-star on size)."""
+    from ..canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n),
+        n_bands,
+        rows_per_band,
+    )
+    if min_jaccard is not None:
+        pairs = ngram_jaccard_pairs(
+            docs, pairs, text_col, id_col, shingle_n, min_jaccard
+        ).select("a", "b")
+    mapping = connected_components(pairs, "a", "b")
+    losers = mapping.where(F.col("node_id") != F.col("canonical_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -36,13 +36,16 @@ from .materialize import (
 
 
 def pipeline_params(
-    repos: DataFrame, use_lsh: bool = True, dedup_files: bool = False
+    repos: DataFrame,
+    use_lsh: bool = True,
+    dedup_files: bool = False,
+    dedup_near: bool = False,
 ) -> dict[str, dict]:
     """Stage-keyed checkpoint-validity params: each stage's dict covers
     the input identity plus every flag its output depends on, so a rerun
     with a toggled flag invalidates exactly the affected stages."""
     base = {"input": input_signature(repos)}
-    extract = {**base, "dedup_files": dedup_files}
+    extract = {**base, "dedup_files": dedup_files, "dedup_near": dedup_near}
     link = {**extract, "use_lsh": use_lsh}
     return {"05_dedup_files": base, "10_extract": extract, "downstream": link}
 
@@ -54,6 +57,7 @@ def run_pipeline(
     use_lsh: bool = True,
     run_id: str = "run0",
     dedup_files: bool = False,
+    dedup_near: bool = False,
 ) -> dict[str, DataFrame]:
     """Full construction run; returns the materialized DataFrames.
 
@@ -63,6 +67,12 @@ def run_pipeline(
     corpus and extracting them is pure waste. One shuffle on
     md5(content); extraction cost drops proportionally.
 
+    dedup_near=True additionally drops NEAR-duplicate files (MinHash-
+    LSH clustering over content, keep min (repo, path) per cluster —
+    operators/dedup.near_dedup): catches trivially-patched vendored
+    copies that byte-hashing misses. Folded into the same 05 stage
+    boundary so resume covers both.
+
     Stage plan (each boundary a partitioned-parquet checkpoint):
       05 file dedup (opt) → 10 extract → 20 link → 30 CC →
       40 canonical edges (rewrite + THE dedup shuffle, written once,
@@ -71,22 +81,34 @@ def run_pipeline(
     second full write/read of the triple stream (VERDICT r01 item 1).
     """
     tracker = StageTracker(spark, work_dir, run_id)
-    params = pipeline_params(repos, use_lsh=use_lsh, dedup_files=dedup_files)
+    params = pipeline_params(
+        repos, use_lsh=use_lsh, dedup_files=dedup_files, dedup_near=dedup_near
+    )
 
-    if dedup_files:
+    if dedup_files or dedup_near:
         def _dedup():
-            w = F.struct("repo", "path")
-            return (
-                repos.withColumn("_h", F.md5("content"))
-                .withColumn("_k", w)
-                .groupBy("_h")
-                .agg(F.min_by(F.struct("repo", "path", "commit", "lang", "content"), "_k").alias("r"))
-                .select("r.*")
-            )
+            out = repos
+            if dedup_files:
+                w = F.struct("repo", "path")
+                out = (
+                    out.withColumn("_h", F.md5("content"))
+                    .withColumn("_k", w)
+                    .groupBy("_h")
+                    .agg(F.min_by(F.struct("repo", "path", "commit", "lang", "content"), "_k").alias("r"))
+                    .select("r.*")
+                )
+            if dedup_near:
+                from .operators.dedup import near_dedup
 
-        source = tracker.materialize(
-            "05_dedup_files", _dedup, params=params["05_dedup_files"]
-        )
+                keyed = out.withColumn(
+                    "_id", F.concat_ws("::", "repo", "path")
+                )
+                out = near_dedup(keyed, text_col="content", id_col="_id").drop("_id")
+            return out
+
+        dparams = {**params["05_dedup_files"], "dedup_files": dedup_files,
+                   "dedup_near": dedup_near}
+        source = tracker.materialize("05_dedup_files", _dedup, params=dparams)
     else:
         source = repos
 
@@ -179,6 +201,8 @@ def main() -> None:
     ap.add_argument("--no-lsh", action="store_true")
     ap.add_argument("--dedup-files", action="store_true",
                     help="drop byte-identical file contents before extraction")
+    ap.add_argument("--dedup-near", action="store_true",
+                    help="also drop MinHash-LSH near-duplicate files")
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -192,7 +216,7 @@ def main() -> None:
     )
     out = run_pipeline(
         spark, repos, args.output, use_lsh=not args.no_lsh, run_id=args.run_id,
-        dedup_files=args.dedup_files,
+        dedup_files=args.dedup_files, dedup_near=args.dedup_near,
     )
     write_graph(out["nodes"], out["edges"], args.output)
     node_type_histogram(out["nodes"]).show(50, truncate=False)

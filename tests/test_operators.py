@@ -680,3 +680,16 @@ class TestCuration:
         assert set(
             r["tok"] for r in token_stats(d, min_df=2).collect()
         ) == {"a", "b"}
+
+    def test_near_dedup_surviving_corpus(self, spark, docs):
+        from datacapsule_spark.operators.dedup import near_dedup
+
+        # default: every LSH collision is a duplicate edge — doc 0's
+        # cluster {0, 1, 2} keeps only min id 0
+        kept = {r["doc_id"] for r in near_dedup(docs).collect()}
+        assert 0 in kept and 2 not in kept and 1 not in kept
+        assert {3, 4, 5, 6} <= kept
+        # jaccard gate at 0.9: the 0.5-similar pair (0,1) survives,
+        # only the exact dup is dropped
+        gated = {r["doc_id"] for r in near_dedup(docs, min_jaccard=0.9).collect()}
+        assert gated == {0, 1, 3, 4, 5, 6}

@@ -120,6 +120,39 @@ def test_pipeline_file_dedup(spark, smoke_repos, tmp_path):
     assert kept_dup > 0
 
 
+def test_pipeline_near_dedup(spark, smoke_repos, tmp_path):
+    """dedup_near drops MinHash-LSH near-duplicate files (one-token
+    patches of vendored copies) that byte-hash dedup misses."""
+    from pyspark.sql import functions as F
+
+    near = smoke_repos.limit(10).select(
+        F.concat(F.lit("vendored/"), "repo").alias("repo"),
+        "path", "commit", "lang",
+        # one appended token: different bytes, ~identical shingles
+        F.concat("content", F.lit("\npatched = True\n")).alias("content"),
+    )
+    with_near = smoke_repos.unionByName(near)
+    base = run_pipeline(
+        spark, with_near, str(tmp_path / "wd_base"), use_lsh=False,
+        dedup_files=True,  # byte-hash alone cannot drop the patched copies
+    )
+    n_files_base = (
+        base["triples"].where(F.col("pred") == "has_loc")
+        .select("subj").distinct().count()
+    )
+    assert n_files_base == 510
+
+    out = run_pipeline(
+        spark, with_near, str(tmp_path / "wd_near"), use_lsh=False,
+        dedup_near=True,
+    )
+    n_files = (
+        out["triples"].where(F.col("pred") == "has_loc")
+        .select("subj").distinct().count()
+    )
+    assert n_files == 500  # each near-dup cluster keeps one member
+
+
 def test_pipeline_skips_completed_stages(spark, smoke_repos, tmp_path, monkeypatch):
     work = tmp_path / "work3"
     run_pipeline(spark, smoke_repos, str(work), use_lsh=False)
