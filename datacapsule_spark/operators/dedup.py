@@ -262,35 +262,38 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 5,
-    max_df: int = 10,
 ) -> DataFrame:
     """Substring-containment dedup: (inner_id, outer_id) pairs where
     inner's text is a verbatim substring of outer's (lowercased,
     trimmed) — catches quote-inclusion / wrapper-page duplication that
     Jaccard misses when lengths differ a lot.
 
-    Blocking: candidate pairs must share a RARE shingle — one with
-    document frequency in [2, max_df]. The df cap bounds per-key
-    fanout, so candidate volume is sum over rare shingles of df², and
-    frequent shingles never generate pairs; no stage is O(n²). Verify:
-    exact JVM-side contains() on the two texts, fetched by id-keyed
-    joins. Ties (equal text) emit only inner_id < outer_id; docs
-    shorter than shingle_n tokens produce no shingles and are never
-    candidates (screen those with exact_dedup first)."""
+    Blocking is prefix-filter style and COMPLETE: each candidate inner
+    doc contributes only its globally RAREST shingle (min document
+    frequency, gram as tiebreak); the join probes every (doc, shingle)
+    row with it. If inner ⊆ outer then outer's text contains every
+    shingle of inner — including the rarest — so no true pair is
+    missed, and the output is exactly the containment relation over
+    docs with >= shingle_n tokens. Candidate volume is sum over docs
+    of df(rarest shingle): near-unique shingles prune almost
+    everything, and no frequent key ever fans out. Verify: exact
+    JVM-side contains() on the two texts, fetched by id-keyed joins.
+    Ties (equal text) emit only inner_id < outer_id; docs shorter
+    than shingle_n tokens never block (screen those with exact_dedup
+    first)."""
     sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
-    )  # consumed by the rare-df agg and both self-join sides
-    rare = (
-        sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("gdf"))
-        .where((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
-        .select("g")
+    )  # consumed by the df agg, the argmin, and the probe side
+    gdf = sh.groupBy("g").agg(F.count("*").alias("gdf"))  # sh distinct per doc
+    rarest = (
+        sh.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(F.min_by("g", F.struct("gdf", "g")).alias("g"))
     )
-    csh = sh.join(rare, "g")
     cand = (
-        csh.alias("l")
+        rarest.alias("l")
         .join(
-            csh.alias("r"),
+            sh.alias("r"),
             (F.col("l.g") == F.col("r.g"))
             & (F.col("l.doc_id") != F.col("r.doc_id")),
         )

@@ -671,11 +671,12 @@ def corpus_token_stats(spark, sf_dir):
 
 
 def dedup_containment_docs(spark, sf_dir):
-    """Substring-containment pairs via rare-shingle blocking +
-    exact contains() verify."""
+    """Substring-containment pairs: complete rarest-shingle blocking +
+    exact contains() verify — output IS the containment relation over
+    docs with >= 5 tokens (oracle: brute-force containment)."""
     from .operators.dedup import containment_pairs
 
-    return containment_pairs(_docs(spark, sf_dir), shingle_n=5, max_df=10)
+    return containment_pairs(_docs(spark, sf_dir), shingle_n=5)
 
 
 # --------------------------------------------------------------------------
@@ -1428,28 +1429,20 @@ GROUP BY tok HAVING count(DISTINCT doc_id) >= 3
 )
 
 _o("dedup_containment_docs")(
+    # the Spark blocking is COMPLETE, so the oracle is the brute-force
+    # containment relation itself (restricted to docs with >= 5 tokens)
     """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS lt,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS nt
   FROM documents
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
-                  i -> array_to_string(t[i:i+4], ' ')))) AS g
-  FROM toks
-), rare AS (
-  SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10
-), cand AS (
-  SELECT DISTINCT l.doc_id AS inner_id, r.doc_id AS outer_id
-  FROM sh l JOIN rare ON l.g = rare.g JOIN sh r ON r.g = rare.g
-  WHERE l.doc_id <> r.doc_id
-), d AS (
-  SELECT doc_id, lower(trim(text)) AS lt FROM documents
 )
-SELECT c.inner_id, c.outer_id
-FROM cand c JOIN d da ON da.doc_id = c.inner_id
-            JOIN d db ON db.doc_id = c.outer_id
-WHERE position(da.lt IN db.lt) > 0
-  AND (da.lt <> db.lt OR c.inner_id < c.outer_id)
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+FROM d a JOIN d b ON a.doc_id <> b.doc_id
+WHERE a.nt >= 5 AND b.nt >= 5
+  AND position(a.lt IN b.lt) > 0
+  AND (a.lt <> b.lt OR a.doc_id < b.doc_id)
 """
 )
 

@@ -654,7 +654,7 @@ class TestCuration:
         )
         got = {
             (r["inner_id"], r["outer_id"])
-            for r in containment_pairs(d, shingle_n=5, max_df=10).collect()
+            for r in containment_pairs(d, shingle_n=5).collect()
         }
         # 1 and 3 inside 2 and 5 (case-insensitive); equal texts tie a<b
         assert (1, 2) in got and (3, 2) in got
