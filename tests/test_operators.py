@@ -693,3 +693,49 @@ class TestCuration:
         # only the exact dup is dropped
         gated = {r["doc_id"] for r in near_dedup(docs, min_jaccard=0.9).collect()}
         assert gated == {0, 1, 3, 4, 5, 6}
+
+    def test_chunk_strip_roundtrip(self, spark):
+        """With min_docs above the corpus size nothing is boilerplate:
+        chunk(8,8) -> strip reassembles the whitespace-normalized text
+        EXACTLY for 200 random word-soup docs (order preservation)."""
+        import random
+
+        from datacapsule_spark.operators.curation import boilerplate_strip
+        from datacapsule_spark.operators.text import chunk_documents
+
+        rng = random.Random(11)
+        words = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 40))))
+            for i in range(200)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        segs = chunk_documents(d, size=8, stride=8).select(
+            "doc_id",
+            F.col("chunk_idx").alias("seg_idx"),
+            F.col("chunk").alias("seg"),
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in boilerplate_strip(segs, min_docs=10**9).collect()
+        }
+        for i, t in rows:
+            norm = " ".join(t.split())
+            if norm:
+                assert out[i] == norm
+            else:
+                assert i not in out  # zero-token docs produce no segments
+
+    def test_sample_by_hash_partition_invariant(self, spark):
+        from datacapsule_spark.operators.curation import sample_by_hash
+
+        d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s1 = {
+            r["doc_id"]
+            for r in sample_by_hash(d.repartition(3), 0.3, "doc_id", "p").collect()
+        }
+        s2 = {
+            r["doc_id"]
+            for r in sample_by_hash(d.repartition(17), 0.3, "doc_id", "p").collect()
+        }
+        assert s1 == s2  # layout-independent membership
