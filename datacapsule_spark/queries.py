@@ -838,6 +838,24 @@ def graph_adjacent_names(spark, sf_dir):
     )
 
 
+def graph_adjacent_names_salted(spark, sf_dir):
+    """A6 twin under hot-key protection: per-nation neighbor name sets
+    via two-stage salted collect_set (operators/skew.py) — result equal
+    to the direct aggregation by construction, but a hot nation's rows
+    spread over n_salts reducers."""
+    from .operators.skew import salted_collect_set
+
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = n.join(c, n.n_nationkey == c.c_nationkey)
+    s = salted_collect_set(j, ["n_name"], "c_name", n_salts=8, out_col="names")
+    return s.select(
+        "n_name",
+        F.concat_ws("|", "names").alias("neighbors"),
+        F.size("names").cast("bigint").alias("n_distinct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -898,6 +916,7 @@ QUERIES = {
     "kg_triples_documents": kg_triples_documents,
     "graph_bfs_customers_in_region": graph_bfs_customers_in_region,
     "graph_adjacent_names": graph_adjacent_names,
+    "graph_adjacent_names_salted": graph_adjacent_names_salted,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.
@@ -1639,6 +1658,17 @@ SELECT n_name,
        coalesce(array_to_string(list_sort(list(DISTINCT c_name)), '|'), '') AS neighbors,
        count(c_custkey) AS n_neighbors
 FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+)
+
+
+_o("graph_adjacent_names_salted")(
+    """
+SELECT n_name,
+       array_to_string(list_sort(list(DISTINCT c_name)), '|') AS neighbors,
+       count(DISTINCT c_name)::BIGINT AS n_distinct
+FROM nation JOIN customer ON n_nationkey = c_nationkey
 GROUP BY n_name
 """
 )

@@ -739,3 +739,49 @@ class TestCuration:
             for r in sample_by_hash(d.repartition(17), 0.3, "doc_id", "p").collect()
         }
         assert s1 == s2  # layout-independent membership
+
+
+class TestSkew:
+    def test_salted_collect_set_equals_direct(self, spark):
+        from datacapsule_spark.operators.skew import salted_collect_set
+
+        # hot key: 'h' carries 90% of rows, with heavy value repetition
+        rows = [("h", f"v{i % 50}") for i in range(900)] + [
+            (f"k{i % 5}", f"v{i}") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "key string, val string")
+        got = {
+            r["key"]: r["values"]
+            for r in salted_collect_set(df, ["key"], "val", n_salts=8).collect()
+        }
+        want = {
+            r["key"]: sorted(r["direct"])
+            for r in df.groupBy("key")
+            .agg(F.collect_set("val").alias("direct"))
+            .collect()
+        }
+        assert got == want
+        # degenerate salt count behaves like the direct aggregation
+        got1 = {
+            r["key"]: r["values"]
+            for r in salted_collect_set(df, ["key"], "val", n_salts=1).collect()
+        }
+        assert got1 == want
+        with pytest.raises(ValueError):
+            salted_collect_set(df, ["key"], "val", n_salts=0)
+
+    def test_salted_collect_set_spreads_hot_key(self, spark):
+        """Stage-1 groups for the hot key actually split across salts."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("h", f"v{i}") for i in range(400)], "key string, val string"
+        )
+        n_groups = (
+            df.groupBy(
+                "key", F.pmod(F.xxhash64("val"), F.lit(8)).alias("_salt")
+            )
+            .count()
+            .count()
+        )
+        assert n_groups == 8  # all 8 sub-groups populated
