@@ -50,9 +50,11 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio quality features and
-    a composite score in [0, 1]:
+def quality_exprs(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality features as raw column expressions — shared by the
+    batch quality_score projection and the stateless streaming twin
+    (streaming.stream_ops.streaming_quality_filter), so the two can
+    never diverge. Composite score in [0, 1]:
         score = 0.4*min(n_tokens/64, 1)
               + 0.3*(1 - punct_ratio)
               + 0.3*min(stopword_ratio*5, 1)
@@ -70,6 +72,23 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "score": score,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and
+    the composite score (expressions in quality_exprs)."""
+    e = quality_exprs(text_col)
+    n_chars, punct_ratio, stop_ratio, score = (
+        e["n_chars"], e["punct_ratio"], e["stop_ratio"], e["score"],
+    )
+    n_tokens = e["n_tokens"]
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),

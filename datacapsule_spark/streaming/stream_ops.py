@@ -89,3 +89,24 @@ def incremental_extract_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_quality_filter(
+    docs_stream: DataFrame, min_quality: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Stateless streaming twin of the batch quality gate: score each
+    arriving document with operators.text.quality_exprs (the SAME
+    column expressions the batch quality_score projects — shared so
+    the two paths cannot drift) and forward only docs at or above the
+    threshold.
+
+    No watermark, no state store: a pure per-row projection+filter, so
+    the micro-batch plan is identical to the batch plan and
+    stream-filtered output is row-equal to batch-filtered output on
+    the same input (asserted in tests/test_streaming.py)."""
+    from ..operators.text import quality_exprs
+
+    score = F.round(quality_exprs(text_col)["score"], 6)
+    return docs_stream.withColumn("quality", score).where(
+        F.col("quality") >= min_quality
+    )

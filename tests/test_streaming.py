@@ -97,3 +97,38 @@ def test_incremental_extract_matches_batch(spark, tmp_path, smoke_repos):
         for r in extract_triples(spark.read.parquet(in_dir), salt=False).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_quality_filter_equals_batch(spark, tmp_path):
+    """The stateless quality gate forwards exactly the docs the batch
+    filter keeps, with identical scores."""
+    from datacapsule_spark.streaming.stream_ops import streaming_quality_filter
+
+    src = str(tmp_path / "docs_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_quality_filter(stream, min_quality=0.6)
+        .select("doc_id", "quality")
+        .writeStream.format("memory")
+        .queryName("quality_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["quality"])
+        for r in spark.sql("select * from quality_mem").collect()
+    }
+    want = {
+        (r["doc_id"], r["quality"])
+        for r in streaming_quality_filter(docs, min_quality=0.6)
+        .select("doc_id", "quality")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # and some docs were actually filtered out
+    assert len(got) < docs.count()
