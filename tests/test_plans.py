@@ -206,6 +206,32 @@ def test_bucketed_graph_join_no_shuffle(spark):
         spark.sql("DROP DATABASE IF EXISTS bucket_test")
 
 
+def test_ivf_partitioned_probe_prunes(spark, tmp_path):
+    """The IVF layout's point at 100 TB: written partitioned by
+    list_id, a probe's list_id IN (...) predicate must become a
+    PARTITION filter on the scan — only n_probe of n_lists partitions
+    are read."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.vectorize import ivf_index, ivf_topk
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumnRenamed("vec_id", "id")
+    )
+    indexed, cents = ivf_index(e, n_lists=8)
+    path = str(tmp_path / "ivf_idx")
+    indexed.write.partitionBy("list_id").parquet(path)
+    idx = spark.read.parquet(path)
+    q = e.where(F.col("id") == 0).first()["embedding"]
+    df = ivf_topk(idx, cents, q, k=5, n_probe=2)
+    r = explain_report(df)
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", r.text)
+    assert m, r.text  # the probe predicate reached partition pruning
+    assert df.count() == 5
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 
