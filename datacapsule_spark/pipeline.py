@@ -40,12 +40,18 @@ def pipeline_params(
     use_lsh: bool = True,
     dedup_files: bool = False,
     dedup_near: bool = False,
+    min_code_quality: float | None = None,
 ) -> dict[str, dict]:
     """Stage-keyed checkpoint-validity params: each stage's dict covers
     the input identity plus every flag its output depends on, so a rerun
     with a toggled flag invalidates exactly the affected stages."""
     base = {"input": input_signature(repos)}
-    extract = {**base, "dedup_files": dedup_files, "dedup_near": dedup_near}
+    extract = {
+        **base,
+        "dedup_files": dedup_files,
+        "dedup_near": dedup_near,
+        "min_code_quality": min_code_quality,
+    }
     link = {**extract, "use_lsh": use_lsh}
     return {"05_dedup_files": base, "10_extract": extract, "downstream": link}
 
@@ -58,6 +64,7 @@ def run_pipeline(
     run_id: str = "run0",
     dedup_files: bool = False,
     dedup_near: bool = False,
+    min_code_quality: float | None = None,
 ) -> dict[str, DataFrame]:
     """Full construction run; returns the materialized DataFrames.
 
@@ -73,6 +80,12 @@ def run_pipeline(
     copies that byte-hashing misses. Folded into the same 05 stage
     boundary so resume covers both.
 
+    min_code_quality gates files through
+    operators/code_quality.quality_gate before extraction — a pure
+    filter on the scan partitions (no shuffle, no stage boundary);
+    the extract checkpoint params carry the threshold so toggling it
+    re-extracts.
+
     Stage plan (each boundary a partitioned-parquet checkpoint):
       05 file dedup (opt) → 10 extract → 20 link → 30 CC →
       40 canonical edges (rewrite + THE dedup shuffle, written once,
@@ -82,7 +95,8 @@ def run_pipeline(
     """
     tracker = StageTracker(spark, work_dir, run_id)
     params = pipeline_params(
-        repos, use_lsh=use_lsh, dedup_files=dedup_files, dedup_near=dedup_near
+        repos, use_lsh=use_lsh, dedup_files=dedup_files, dedup_near=dedup_near,
+        min_code_quality=min_code_quality,
     )
 
     if dedup_files or dedup_near:
@@ -111,6 +125,11 @@ def run_pipeline(
         source = tracker.materialize("05_dedup_files", _dedup, params=dparams)
     else:
         source = repos
+
+    if min_code_quality is not None:
+        from .operators.code_quality import quality_gate
+
+        source = quality_gate(source, min_code_quality)
 
     triples = tracker.materialize(
         "10_extract",
@@ -203,6 +222,8 @@ def main() -> None:
                     help="drop byte-identical file contents before extraction")
     ap.add_argument("--dedup-near", action="store_true",
                     help="also drop MinHash-LSH near-duplicate files")
+    ap.add_argument("--min-code-quality", type=float, default=None,
+                    help="pre-extraction quality gate threshold in [0,1]")
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -217,6 +238,7 @@ def main() -> None:
     out = run_pipeline(
         spark, repos, args.output, use_lsh=not args.no_lsh, run_id=args.run_id,
         dedup_files=args.dedup_files, dedup_near=args.dedup_near,
+        min_code_quality=args.min_code_quality,
     )
     write_graph(out["nodes"], out["edges"], args.output)
     node_type_histogram(out["nodes"]).show(50, truncate=False)

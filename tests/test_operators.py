@@ -785,3 +785,46 @@ class TestSkew:
             .count()
         )
         assert n_groups == 8  # all 8 sub-groups populated
+
+
+class TestCodeQuality:
+    def test_code_quality_score(self, spark):
+        from datacapsule_spark.operators.code_quality import code_quality_score
+
+        rows = [
+            ("r", "good.py", "c" * 40, "python",
+             "# a comment\ndef f(x):\n    return x + 1\n"),
+            ("r", "minified.js", "c" * 40, "javascript",
+             "var a=1;" * 200),  # one 1600-char line
+            ("r", "gen.py", "c" * 40, "python",
+             "# AUTO-GENERATED by tool. DO NOT EDIT\nx = 1\n"),
+            ("r", "packed.bin", "c" * 40, "python",
+             "\x01\x02{}[]()!!$$%%^^&&**" * 50),
+        ]
+        d = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        out = {r["path"]: r for r in code_quality_score(d).collect()}
+        assert out["good.py"]["code_quality"] >= 0.8
+        assert out["good.py"]["comment_ratio"] > 0
+        assert not out["good.py"]["is_autogen"]
+        assert out["minified.js"]["max_line_len"] == 1600
+        assert out["minified.js"]["code_quality"] < 0.5
+        assert out["gen.py"]["is_autogen"]
+        assert out["gen.py"]["code_quality"] == 0.0
+        assert out["packed.bin"]["alnum_ratio"] == 0.0
+        assert out["packed.bin"]["code_quality"] <= 0.7
+
+    def test_quality_gate_filters_and_keeps_schema(self, spark):
+        from datacapsule_spark.operators.code_quality import quality_gate
+
+        rows = [
+            ("r", "a.py", "c" * 40, "python", "x = 1\ny = 2\n"),
+            ("r", "gen.py", "c" * 40, "python", "# generated by x. do not edit\n"),
+        ]
+        d = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        kept = quality_gate(d, 0.5)
+        assert kept.columns == d.columns
+        assert [r["path"] for r in kept.collect()] == ["a.py"]

@@ -268,3 +268,34 @@ def test_stale_checkpoint_invalidated_on_changed_config(
 
     with _pytest.raises(AssertionError, match="sentinel"):
         run_pipeline(spark, smoke_repos, work, use_lsh=False, run_id="other")
+
+
+def test_pipeline_quality_gate(spark, smoke_repos, tmp_path):
+    """min_code_quality drops low-quality files before extraction; the
+    gate is a pure filter (no extra Exchange on the scan side)."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.operators.code_quality import quality_gate
+    from datacapsule_spark.plans.audit import explain_report
+
+    junk = smoke_repos.limit(5).select(
+        "repo",
+        F.concat(F.lit("gen/"), "path").alias("path"),
+        "commit", "lang",
+        F.concat(F.lit("# @generated DO NOT EDIT\n"), "content").alias("content"),
+    )
+    with_junk = smoke_repos.unionByName(junk)
+    out = run_pipeline(
+        spark, with_junk, str(tmp_path / "wq"), use_lsh=False,
+        min_code_quality=0.5,
+    )
+    gen_files = out["triples"].where(F.col("path").startswith("gen/")).count()
+    assert gen_files == 0  # autogen files never reach extraction
+    n_files = (
+        out["triples"].where(F.col("pred") == "has_loc")
+        .select("subj").distinct().count()
+    )
+    assert n_files == 500
+    # plan shape: the gate adds zero exchanges over the bare scan
+    r = explain_report(quality_gate(smoke_repos, 0.5))
+    assert r.exchanges == 0, r.text
