@@ -69,6 +69,9 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # headline membership grew r01→r02 (+text_gopher_quality,
+        # +curation_boilerplate_strip): compare per-query, not totals
+        "n_queries": len(queries),
         "sf": sf,
         "cpus": cpus,
     }
