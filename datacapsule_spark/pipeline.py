@@ -117,7 +117,12 @@ def run_pipeline(
                 keyed = out.withColumn(
                     "_id", F.concat_ws("::", "repo", "path")
                 )
-                out = near_dedup(keyed, text_col="content", id_col="_id").drop("_id")
+                # Jaccard-gated: an LSH band collision alone never drops
+                # a file — candidates are re-scored exactly (the gate
+                # touches only colliding pairs, not the corpus)
+                out = near_dedup(
+                    keyed, text_col="content", id_col="_id", min_jaccard=0.9
+                ).drop("_id")
             return out
 
         dparams = {**params["05_dedup_files"], "dedup_files": dedup_files,
