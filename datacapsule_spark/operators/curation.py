@@ -209,6 +209,83 @@ def sample_by_hash(
     return df.where(h < F.lit(threshold))
 
 
+def corpus_balance(
+    docs: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixing report: per group (default source × lang), doc count,
+    share of corpus, and exact p50/p90 token-count percentiles — the
+    table a data-mixing decision reads. One shuffle on the group key;
+    the total is a broadcast scalar join (a 1-row aggregate), not a
+    window over the whole corpus."""
+    group_cols = group_cols or ["source", "lang"]
+    n_toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    per = docs.select(*group_cols, n_toks.alias("_nt")).groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("_nt", F.lit(0.5)), 2).alias("p50_tokens"),
+        F.round(F.percentile("_nt", F.lit(0.9)), 2).alias("p90_tokens"),
+    )
+    total = docs.groupBy().agg(F.count("*").alias("_total"))
+    return per.join(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        "p50_tokens",
+        "p90_tokens",
+    )
+
+
+def rebalance_by_source(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Downsample toward a target mixing distribution: each source s
+    keeps rate(s) = min(1, target(s) * N / count(s)) of its docs,
+    chosen by the same md5-threshold rule as sample_by_hash — so the
+    kept set is deterministic, reproducible, and nests if targets
+    shrink. Sources absent from target_shares are dropped (rate 0).
+
+    Only downsampling: a source below its target share cannot be
+    upsampled, it just keeps everything (rate capped at 1). Counts are
+    one aggregation; the per-source thresholds broadcast back as a
+    tiny dim — the corpus itself is filtered in place, never
+    shuffled."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_cnt"))
+    total = docs.count()
+    share_items = list(target_shares.items())
+    share_df = docs.sparkSession.createDataFrame(
+        share_items, f"{source_col} string, _target double"
+    )
+    rates = (
+        counts.join(share_df, source_col, "inner")
+        .select(
+            source_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0), F.col("_target") * F.lit(float(total)) / F.col("_cnt")
+                )
+                * F.lit(float(_HASH_SPACE))
+            ).alias("_threshold"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(h < F.col("_threshold"))
+        .drop("_threshold")
+    )
+
+
 def per_source_quota(
     docs: DataFrame,
     n: int,

@@ -663,6 +663,27 @@ def sample_per_source_topn(spark, sf_dir):
     )
 
 
+def corpus_balance_report(spark, sf_dir):
+    """Data-mixing report: per (source, lang) doc count, corpus share,
+    exact p50/p90 token counts."""
+    from .operators.curation import corpus_balance
+
+    return corpus_balance(_t(spark, sf_dir, "documents"))
+
+
+def rebalance_docs_sources(spark, sf_dir):
+    """Deterministic downsampling toward target shares: src0 → 1%,
+    src1 → 10% (capped: keeps all), src2 → 3%; other sources dropped."""
+    from .operators.curation import rebalance_by_source
+
+    out = rebalance_by_source(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.01, "src1": 0.10, "src2": 0.03},
+        salt="mix",
+    )
+    return out.select("doc_id", "source")
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -909,6 +930,8 @@ QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "sample_per_source_topn": sample_per_source_topn,
     "corpus_token_stats": corpus_token_stats,
+    "corpus_balance_report": corpus_balance_report,
+    "rebalance_docs_sources": rebalance_docs_sources,
     "dedup_containment_docs": dedup_containment_docs,
     "vector_topk": vector_topk,
     "vector_knn_batch": vector_knn_batch,
@@ -1444,6 +1467,45 @@ SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df,
                 / (count(DISTINCT doc_id) + 1)) + 1, 6) AS idf
 FROM toks WHERE tok <> ''
 GROUP BY tok HAVING count(DISTINCT doc_id) >= 3
+"""
+)
+
+_o("corpus_balance_report")(
+    """
+WITH t AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+), per AS (
+  SELECT source, lang, count(*) AS n_docs,
+         round(quantile_cont(nt, 0.5), 2) AS p50_tokens,
+         round(quantile_cont(nt, 0.9), 2) AS p90_tokens
+  FROM t GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       round(n_docs / (SELECT count(*) FROM documents), 6) AS share,
+       p50_tokens, p90_tokens
+FROM per
+"""
+)
+
+_o("rebalance_docs_sources")(
+    """
+WITH counts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), tgt(source, target) AS (
+  VALUES ('src0', 0.01), ('src1', 0.10), ('src2', 0.03)
+), total AS (SELECT count(*) AS n FROM documents),
+rates AS (
+  SELECT c.source,
+         floor(least(1.0, t.target * total.n / c.cnt) * 4294967296.0)::BIGINT
+           AS thr
+  FROM counts c JOIN tgt t ON c.source = t.source CROSS JOIN total
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 """
 )
 

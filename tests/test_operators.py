@@ -828,3 +828,24 @@ class TestCodeQuality:
         kept = quality_gate(d, 0.5)
         assert kept.columns == d.columns
         assert [r["path"] for r in kept.collect()] == ["a.py"]
+
+    def test_rebalance_by_source(self, spark):
+        from datacapsule_spark.operators.curation import rebalance_by_source
+
+        rows = [(i, "a" if i < 800 else "b") for i in range(1000)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        # target: a -> 20% of corpus (200 of 800 -> rate .25),
+        #         b -> 40% (400 > 200 available -> rate capped at 1)
+        out = rebalance_by_source(d, {"a": 0.2, "b": 0.4}, salt="t")
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src["b"] == 200  # capped at keep-everything
+        assert 140 < by_src["a"] < 260  # ~0.25 * 800, hash-Bernoulli
+        # deterministic + absent sources dropped
+        again = {r["doc_id"] for r in
+                 rebalance_by_source(d, {"a": 0.2, "b": 0.4}, salt="t").collect()}
+        assert again == {r["doc_id"] for r in out.collect()}
+        only_a = rebalance_by_source(d, {"a": 0.2}, salt="t")
+        assert only_a.where(F.col("source") == "b").count() == 0
