@@ -135,3 +135,48 @@ def test_q9_species_habits(ref_api, recorded):
     assert out["nodes_count"] == 3
     for marker in ("凶猛", "胎生", "350"):
         assert marker in text
+
+
+def test_agent_loop_answers_recorded_questions_from_text(ref_api, recorded):
+    """X5 closed: the ReAct loop machinery + the deterministic
+    RulePolicy reproduce every replayable recorded interaction from
+    the QUESTION TEXT ALONE — no recorded tool sequence consulted."""
+    from datacapsule_spark.agent import AgentLoop, RulePolicy
+
+    loop = AgentLoop(ref_api, RulePolicy())
+
+    out = loop.run(recorded[0]["question"])  # 软骨鱼纲有多少种生物？
+    assert out["answer"] == 122 and "122" in recorded[0]["response"]
+    assert [s["method"] for s in out["trajectory"]] == [
+        "find_nodes_by_node_type"
+    ]
+
+    out = loop.run(recorded[1]["question"])  # 分布在东海的须鲨目…
+    assert out["answer"] == 5 and "5" in recorded[1]["response"]
+    assert [s["method"] for s in out["trajectory"]] == [
+        "find_nodes_by_node_type",
+        "batch_find_nodes_by_node_type",
+    ]
+
+    out = loop.run(recorded[2]["question"])  # 皱皮刺鲨属于角鲨目吗？
+    assert out["answer"] is True
+
+    out = loop.run(recorded[7]["question"])  # 与尖吻蜻鲨同目的生物有多少种？
+    assert out["answer"] == 11
+
+    out = loop.run(recorded[9]["question"])  # 公牛真鲨有哪些生活习性？
+    text = " ".join(out["answer"])
+    for marker in ("凶猛", "胎生", "350"):
+        assert marker in text
+
+
+def test_agent_loop_budget_and_unknown_question(ref_api):
+    from datacapsule_spark.agent import AgentLoop, RulePolicy
+
+    import pytest as _pytest
+
+    loop = AgentLoop(ref_api, RulePolicy(), max_steps=0)
+    out = loop.run("软骨鱼纲有多少种生物？")
+    assert out.get("truncated") and out["answer"] is None
+    with _pytest.raises(ValueError):
+        AgentLoop(ref_api, RulePolicy()).run("what is the weather")
