@@ -218,7 +218,12 @@ def corpus_balance(
     share of corpus, and exact p50/p90 token-count percentiles — the
     table a data-mixing decision reads. One shuffle on the group key;
     the total is a broadcast scalar join (a 1-row aggregate), not a
-    window over the whole corpus."""
+    window over the whole corpus.
+
+    Exact `percentile` buffers each group's values — right for the
+    oracle-checked report at test scale; at 100 TB swap in
+    approx_percentile(col, p, accuracy) (one-token change, bounded
+    memory per group, same output shape)."""
     group_cols = group_cols or ["source", "lang"]
     n_toks = F.size(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
