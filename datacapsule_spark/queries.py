@@ -859,6 +859,27 @@ def graph_adjacent_names(spark, sf_dir):
     )
 
 
+def graph_triangles_cosupply(spark, sf_dir):
+    """Triangle count over the supplier co-order graph (suppliers are
+    adjacent when they supply the same order) — degree-ordered wedge
+    join, each triangle counted once at its lowest-degree corner."""
+    from .operators.graph_stats import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .select(F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b"))
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
 def graph_adjacent_names_salted(spark, sf_dir):
     """A6 twin under hot-key protection: per-nation neighbor name sets
     via two-stage salted collect_set (operators/skew.py) — result equal
@@ -940,6 +961,7 @@ QUERIES = {
     "graph_bfs_customers_in_region": graph_bfs_customers_in_region,
     "graph_adjacent_names": graph_adjacent_names,
     "graph_adjacent_names_salted": graph_adjacent_names_salted,
+    "graph_triangles_cosupply": graph_triangles_cosupply,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.
@@ -1724,6 +1746,20 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_triangles_cosupply")(
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e1.b = e2.a
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
 
 _o("graph_adjacent_names_salted")(
     """

@@ -849,3 +849,36 @@ class TestCodeQuality:
         assert again == {r["doc_id"] for r in out.collect()}
         only_a = rebalance_by_source(d, {"a": 0.2}, salt="t")
         assert only_a.where(F.col("source") == "b").count() == 0
+
+
+class TestGraphStats:
+    def test_triangle_count_known_graphs(self, spark):
+        from datacapsule_spark.operators.graph_stats import triangle_count
+
+        def tc(edge_list):
+            df = spark.createDataFrame(edge_list, "a long, b long")
+            return triangle_count(df).collect()[0]["n_triangles"]
+
+        # K4: C(4,3) = 4 triangles; input has duplicates + both directions
+        k4 = [(i, j) for i in range(4) for j in range(4) if i != j]
+        assert tc(k4) == 4
+        # path graph: 0 triangles
+        assert tc([(0, 1), (1, 2), (2, 3)]) == 0
+        # one triangle + pendant; self-loop must be ignored
+        assert tc([(0, 1), (1, 2), (2, 0), (2, 3), (3, 3)]) == 1
+        # star (max-skew hub): 0 triangles, wedge fanout stays bounded
+        assert tc([(0, i) for i in range(1, 50)]) == 0
+
+    def test_triangle_count_matches_networkx(self, spark):
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import triangle_count
+
+        rng = random.Random(5)
+        edges = list({(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)})
+        g = nx.Graph()
+        g.add_edges_from((a, b) for a, b in edges if a != b)
+        want = sum(nx.triangles(g).values()) // 3
+        df = spark.createDataFrame(edges, "a long, b long")
+        assert triangle_count(df).collect()[0]["n_triangles"] == want
