@@ -1,7 +1,8 @@
-"""Distributed graph analytics beyond traversal: triangle counting.
+"""Distributed graph analytics beyond traversal: triangle counting and
+PageRank.
 
 Complements the engine's BFS (traverse.py) and connected components
-(canonicalize.py) with the third classic distributed graph primitive.
+(canonicalize.py) with the other classic distributed graph primitives.
 """
 
 from __future__ import annotations
@@ -63,3 +64,65 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
     )
     return closed.groupBy().agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Directed PageRank → (node, rank), sum(rank) = 1.
+
+    Per iteration: one join of ranks onto the (pre-materialized)
+    out-degree edge list, one aggregation of contributions per target.
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the mass is a 1-row driver scalar per round, the same bounded
+    per-round-action pattern as the BFS hop loop. Each round eagerly
+    localCheckpoints to truncate lineage, so the plan stays O(1) deep
+    across max_iter rounds (the property that lets the loop run on a
+    billion-edge graph without a 20-level join tower)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
+    # (s, t, od) reused every round
+    links = e.join(outdeg, "s").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    has_out = links.select(F.col("s").alias("node")).distinct()
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        dangling_mass = (
+            ranks.join(dangling_nodes, "node")
+            .groupBy()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            links.join(ranks, links.s == ranks.node)
+            .select(F.col("t").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -880,6 +880,34 @@ def graph_triangles_cosupply(spark, sf_dir):
     return triangle_count(pairs)
 
 
+def graph_pagerank_cosupply(spark, sf_dir):
+    """Top-10 suppliers by PageRank over the directed co-order graph
+    (edge a→b when a and b supply the same order, a < b). Iterative —
+    no SQL oracle (driver records the rows-only check); the algorithm
+    is pinned against a pure-Python power-iteration oracle in
+    tests/test_operators.py to 1e-9."""
+    from .operators.graph_stats import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .select(F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    pr = pagerank(pairs, max_iter=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_adjacent_names_salted(spark, sf_dir):
     """A6 twin under hot-key protection: per-nation neighbor name sets
     via two-stage salted collect_set (operators/skew.py) — result equal
@@ -962,6 +990,7 @@ QUERIES = {
     "graph_adjacent_names": graph_adjacent_names,
     "graph_adjacent_names_salted": graph_adjacent_names_salted,
     "graph_triangles_cosupply": graph_triangles_cosupply,
+    "graph_pagerank_cosupply": graph_pagerank_cosupply,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.

@@ -882,3 +882,40 @@ class TestGraphStats:
         want = sum(nx.triangles(g).values()) // 3
         df = spark.createDataFrame(edges, "a long, b long")
         assert triangle_count(df).collect()[0]["n_triangles"] == want
+
+    def test_pagerank_matches_power_iteration(self, spark):
+        import random
+
+        from datacapsule_spark.operators.graph_stats import pagerank
+
+        rng = random.Random(3)
+        edges = list(
+            {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        # include a dangling node: 99 has an in-edge but no out-edge
+        edges.append((0, 99))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, max_iter=40).collect()
+        }
+
+        # pure-Python power-iteration oracle (same dangling handling)
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {v: [] for v in nodes}
+        for a, b in edges:
+            out[a].append(b)
+        d, n = 0.85, len(nodes)
+        want = {v: 1.0 / n for v in nodes}
+        for _ in range(40):
+            dangling = sum(want[v] for v in nodes if not out[v])
+            nxt = {v: (1 - d) / n + d * dangling / n for v in nodes}
+            for v in nodes:
+                for w in out[v]:
+                    nxt[w] += d * want[v] / len(out[v])
+            want = nxt
+
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # probability mass
+        for node, w in want.items():
+            assert got[node] == pytest.approx(w, abs=1e-9), node
