@@ -110,3 +110,32 @@ def streaming_quality_filter(
     return docs_stream.withColumn("quality", score).where(
         F.col("quality") >= min_quality
     )
+
+
+def streaming_decontaminate_hits(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of operators.curation.decontaminate, emitted as
+    stateless (doc_id, g) contamination hits: each arriving doc's
+    word n-grams (array HOFs — a stream cannot run the batch path's
+    sort window) stream-static join against the (static, broadcast)
+    benchmark gram dictionary. No watermark, no state store —
+    downstream rolls hits up per doc if it wants counts; the stateless
+    emission is what keeps the operator append-mode and
+    backfill-equal to the batch join (asserted in
+    tests/test_streaming.py)."""
+    from ..operators.dedup import _word_shingles
+
+    bench_grams = F.broadcast(
+        benchmark.select(F.explode(_word_shingles(text_col, shingle_n)).alias("g"))
+        .distinct()
+    )
+    grams = docs_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    return grams.join(bench_grams, "g").select("doc_id", "g")

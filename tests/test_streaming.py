@@ -132,3 +132,35 @@ def test_streaming_quality_filter_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # and some docs were actually filtered out
     assert len(got) < docs.count()
+
+
+def test_streaming_decontaminate_hits_equals_batch(spark, tmp_path):
+    """Stream-static join: contamination hits from the stream match
+    the batch join exactly (stateless, append mode)."""
+    from datacapsule_spark.streaming.stream_ops import streaming_decontaminate_hits
+
+    src = str(tmp_path / "decon_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    train.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    q = (
+        streaming_decontaminate_hits(stream, bench)
+        .writeStream.format("memory")
+        .queryName("decon_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["g"])
+        for r in spark.sql("select * from decon_mem").collect()
+    }
+    want = {
+        (r["doc_id"], r["g"])
+        for r in streaming_decontaminate_hits(train, bench).collect()
+    }
+    assert got == want and len(got) > 0
