@@ -291,6 +291,47 @@ def rebalance_by_source(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing (training-batch prep): concatenate each
+    part_col stream in id order and assign every doc to the
+    fixed-capacity token bin where it STARTS — bin = floor(running
+    token count before the doc / capacity), the concat-then-chunk rule
+    GPT-style pipelines use. Docs are never split; a bin's true token
+    count may overhang capacity by at most one doc's tail.
+
+    One window per part_col group (the partition column bounds the
+    sort — no global order, so the shuffle is on part_col and hot
+    parts spill, never serialize the corpus). Output: one row per bin
+    with doc span and token totals."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    n_toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    w = Window.partitionBy("part").orderBy("doc_id")
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = docs.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("n_tokens"),
+    ).withColumn("bin_id", F.floor(before / capacity))
+    return binned.groupBy("part", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def per_source_quota(
     docs: DataFrame,
     n: int,

@@ -684,6 +684,19 @@ def rebalance_docs_sources(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def pack_docs_sequences(spark, sf_dir):
+    """Training-batch packing plan: per source, docs binned into
+    256-token concat-then-chunk sequences."""
+    from .operators.curation import pack_sequences
+
+    out = pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+    return out.select(
+        "part", "bin_id", "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "first_doc", "last_doc",
+    )
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -983,6 +996,7 @@ QUERIES = {
     "sample_per_source_topn": sample_per_source_topn,
     "corpus_token_stats": corpus_token_stats,
     "corpus_balance_report": corpus_balance_report,
+    "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
     "dedup_containment_docs": dedup_containment_docs,
     "vector_topk": vector_topk,
@@ -1541,6 +1555,26 @@ SELECT source, lang, n_docs,
        round(n_docs / (SELECT count(*) FROM documents), 6) AS share,
        p50_tokens, p90_tokens
 FROM per
+"""
+)
+
+_o("pack_docs_sequences")(
+    """
+WITH t AS (
+  SELECT source AS part, doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT part, doc_id, n_tokens,
+         floor(coalesce(sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256)::BIGINT AS bin_id
+  FROM t
+)
+SELECT part, bin_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY part, bin_id
 """
 )
 

@@ -919,3 +919,37 @@ class TestGraphStats:
         assert abs(sum(got.values()) - 1.0) < 1e-9  # probability mass
         for node, w in want.items():
             assert got[node] == pytest.approx(w, abs=1e-9), node
+
+    def test_pack_sequences(self, spark):
+        from datacapsule_spark.operators.curation import pack_sequences
+
+        # one source: docs of 6, 5, 4, 10, 3 tokens; capacity 10
+        # cum-before: 0, 6, 11, 15, 25 -> bins 0, 0, 1, 1, 2
+        rows = [
+            (1, "s", "a b c d e f"),
+            (2, "s", "a b c d e"),
+            (3, "s", "a b c d"),
+            (4, "s", "a b c d e f g h i j"),
+            (5, "s", "a b c"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {
+            r["bin_id"]: r for r in pack_sequences(d, capacity=10).collect()
+        }
+        assert (out[0]["n_docs"], out[0]["n_tokens"]) == (2, 11)
+        assert (out[0]["first_doc"], out[0]["last_doc"]) == (1, 2)
+        assert (out[1]["n_docs"], out[1]["n_tokens"]) == (2, 14)
+        assert (out[2]["n_docs"], out[2]["n_tokens"]) == (1, 3)
+        # bins are per-part streams: a second source restarts at bin 0
+        d2 = d.unionByName(
+            spark.createDataFrame(
+                [(9, "t", "x y z")], "doc_id long, source string, text string"
+            )
+        )
+        parts = {
+            (r["part"], r["bin_id"])
+            for r in pack_sequences(d2, capacity=10).collect()
+        }
+        assert ("t", 0) in parts
+        with pytest.raises(ValueError):
+            pack_sequences(d, capacity=0)
