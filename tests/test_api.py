@@ -150,3 +150,18 @@ def test_graphml_guard(spark, warehouse, tmp_path):
             warehouse["nodes"], warehouse["edges"],
             str(tmp_path / "x.graphml"), max_nodes=10,
         )
+
+
+def test_query_registry_consistency():
+    """Driver-contract invariants: every oracle key names a registered
+    query, names are unique and stable, and the driver entry module
+    exposes exactly the registry."""
+    import __spark_entry__ as e
+    from datacapsule_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(e.queries()) == set(QUERIES)
+    assert e.oracle_sql() == ORACLES
+    # rows-only entries (no oracle) are the deliberate, documented few
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"graph_pagerank_cosupply"}
