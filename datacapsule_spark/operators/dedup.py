@@ -333,26 +333,23 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("tok"),
     ).where(F.col("tok") != "")
-    # unsigned 60-bit token hash (15 hex chars keeps conv inside bigint)
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(20,0)")
+    # unsigned 60-bit token hash — 15 hex chars < 2^60 fits SIGNED
+    # int64, so the whole bit loop runs on bigint bitwise ops (codegen
+    # integer path) instead of decimal division
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     toks = toks.withColumn("th", h)
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    (F.col("th") / F.lit(2**i)).cast("bigint") % 2 == 1, 1
-                ).otherwise(-1)
+                F.when(F.col("th").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(60)
         ]
     )
     sim = None
     for i in range(60):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("decimal(20,0)")).otherwise(
-            F.lit(0).cast("decimal(20,0)")
-        )
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    # < 2^60 so it fits signed int64 — bigint for engine-portable compare
     return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
