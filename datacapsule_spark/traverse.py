@@ -78,9 +78,12 @@ def find_nodes_by_node_type(
     traverse an ingested marine-species graph.
     """
     rank_map = _rank_map_col(hierarchy)
+    # materialized once: every hop joins against typed, and the nodes
+    # input is often an unmaterialized union/projection tree that would
+    # otherwise re-evaluate per hop
     typed = nodes.select(
         "node_id", "node_type", rank_map[F.col("node_type")].alias("rank")
-    )
+    ).localCheckpoint(eager=False)
     target_rank_row = (
         typed.where(F.col("node_type") == target_type).select("rank").first()
     )
@@ -105,7 +108,9 @@ def find_nodes_by_node_type(
         ).select("query_id", "node_id")
     )
     start_ranks = (
-        frontier.groupBy("query_id").agg(F.min("rank").alias("start_rank"))
+        frontier.groupBy("query_id")
+        .agg(F.min("rank").alias("start_rank"))
+        .localCheckpoint(eager=False)  # broadcast every hop; tiny
     )
 
     # visited kept as a list of checkpointed frontiers: the anti-join
