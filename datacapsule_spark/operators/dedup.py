@@ -131,18 +131,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, sig array<string>): sig[i] = min over shingles of
-    md5(i || ':' || shingle). Pure column expressions — reproducible in
-    the DuckDB oracle with list_transform/list_min."""
+    """(doc_id, sig array): sig[i] = min over shingles of
+    hash(i || ':' || shingle).
+
+    hash_fn="md5" (default) is the cross-engine-reproducible contract
+    — the DuckDB oracle rebuilds signatures bit-for-bit. hash_fn=
+    "xxhash64" is the PRODUCTION path: a native 64-bit JVM hash with
+    bigint mins instead of 32-hex-char string digests — no oracle twin
+    (DuckDB has no xxhash64), same banding semantics; the pipeline's
+    near-dedup stage uses it (equivalence pytest on the gated chain).
+    """
+    if hash_fn == "md5":
+        def h(i):
+            return F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))
+    elif hash_fn == "xxhash64":
+        def h(i):
+            return F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("g")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     # shingle rows + hash-aggregate: min-per-hash runs in whole-stage
     # codegen (nested transform() closures drop to interpreted eval)
     exploded = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
     mins = exploded.groupBy("doc_id").agg(  # min is duplicate-invariant
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
@@ -150,29 +163,33 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
-    candidate pair (a < b). Shuffle key = (band_idx, band_hash)."""
+    candidate pair (a < b). Shuffle key = (band_idx, band_hash).
+    hash_fn must match the one the signatures were built with: "md5"
+    (string sig elements, oracle-reproducible band hash) or
+    "xxhash64" (bigint elements, native band hash)."""
+    def band_hash(b):
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *elems))
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*elems)
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
     # the self-join consumes `bands` twice; without materialization the
     # whole shingle→signature pipeline would run once per side
     bands = signatures.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(n_bands)
-                ]
-            )
+            F.array(*[band_hash(b) for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
     ).localCheckpoint(eager=False)
     left = bands.alias("l")
@@ -228,6 +245,7 @@ def near_dedup(
     n_bands: int = 4,
     rows_per_band: int = 4,
     min_jaccard: float | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Surviving corpus after MinHash-LSH near-dup removal: banded LSH
     candidate pairs → (optional) exact n-gram Jaccard gate → connected
@@ -238,13 +256,16 @@ def near_dedup(
     over-drops); set a threshold to re-score candidates exactly before
     clustering. CC runs on the PAIR set (orders of magnitude smaller
     than the corpus — canonicalize.connected_components tiers between
-    driver union-find and large-star/small-star on size)."""
+    driver union-find and large-star/small-star on size).
+    hash_fn="xxhash64" is the production fast path (native bigint
+    hashing; the md5 default exists for oracle reproducibility)."""
     from ..canonicalize import connected_components
 
     pairs = minhash_lsh_pairs(
-        minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n),
+        minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn),
         n_bands,
         rows_per_band,
+        hash_fn,
     )
     if min_jaccard is not None:
         pairs = ngram_jaccard_pairs(

@@ -119,9 +119,12 @@ def run_pipeline(
                 )
                 # Jaccard-gated: an LSH band collision alone never drops
                 # a file — candidates are re-scored exactly (the gate
-                # touches only colliding pairs, not the corpus)
+                # touches only colliding pairs, not the corpus).
+                # xxhash64 = native bigint hashing; the md5 default
+                # exists only for DuckDB-oracle reproducibility.
                 out = near_dedup(
-                    keyed, text_col="content", id_col="_id", min_jaccard=0.9
+                    keyed, text_col="content", id_col="_id",
+                    min_jaccard=0.9, hash_fn="xxhash64",
                 ).drop("_id")
             return out
 

@@ -953,3 +953,32 @@ class TestGraphStats:
         assert ("t", 0) in parts
         with pytest.raises(ValueError):
             pack_sequences(d, capacity=0)
+
+    def test_minhash_fast_hash_path(self, spark, docs):
+        """xxhash64 signatures keep banding semantics: identical docs
+        always collide, and the Jaccard-gated near-dedup output matches
+        the md5 path exactly (the gate makes the final result
+        hash-choice-independent for clear-cut duplicates)."""
+        from datacapsule_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+            near_dedup,
+        )
+
+        sig = minhash_signatures(docs, hash_fn="xxhash64")
+        assert dict(sig.dtypes)["sig"] == "array<bigint>"
+        pairs = {
+            (r["a"], r["b"])
+            for r in minhash_lsh_pairs(sig, hash_fn="xxhash64").collect()
+        }
+        assert (0, 2) in pairs  # exact dup collides under any hash
+        kept_md5 = {
+            r["doc_id"] for r in near_dedup(docs, min_jaccard=0.9).collect()
+        }
+        kept_xx = {
+            r["doc_id"]
+            for r in near_dedup(docs, min_jaccard=0.9, hash_fn="xxhash64").collect()
+        }
+        assert kept_xx == kept_md5
+        with pytest.raises(ValueError):
+            minhash_signatures(docs, hash_fn="sha9")
