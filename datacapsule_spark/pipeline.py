@@ -145,7 +145,15 @@ def run_pipeline(
         partition_by=["pred"],
         params=params["10_extract"],
     )
+    return _downstream(tracker, triples, use_lsh, params["downstream"])
 
+
+def _downstream(
+    tracker: StageTracker, triples: DataFrame, use_lsh: bool, down: dict
+) -> dict[str, DataFrame]:
+    """Stages 20→70 from an extract boundary (shared by run_pipeline
+    and run_incremental — the delta path re-enters here with the
+    unioned boundary and a params dict that carries the delta set)."""
     # link symbol-type entities only (mirrors the reference linking
     # entities by surface string; modules/files/authors keep exact ids).
     # The pred IN (...) clause is redundant with obj_type == symbol
@@ -162,7 +170,6 @@ def run_pipeline(
         .select(F.col("obj").alias("name"))
         .distinct()
     )
-    down = params["downstream"]
     pairs = tracker.materialize(
         "20_link", lambda: alias_pairs(sym_names, use_lsh=use_lsh), params=down
     )
@@ -220,6 +227,60 @@ def run_pipeline(
     }
 
 
+def run_incremental(
+    spark: SparkSession,
+    new_repos: DataFrame,
+    work_dir: str,
+    use_lsh: bool = True,
+    run_id: str = "run0",
+) -> dict[str, DataFrame]:
+    """Incremental ingest: extract ONLY the newly-arrived files and
+    rebuild downstream from the grown boundary — the base corpus is
+    never re-extracted. At 10^12 files extraction is the
+    corpus-proportional term, so paying it only for the delta is what
+    makes continuous ingestion viable; downstream (linking dictionary,
+    CC, canonical rewrite) recomputes over the combined triples, whose
+    cost scales with the triple stream, not the raw corpus.
+
+    Mechanics: each delta becomes its OWN stage boundary
+    (15_delta_<input-hash>) via the normal atomic materialize — a
+    killed ingest re-runs idempotently (overwrite + marker-last), and
+    re-submitting the same delta is a no-op resume. Downstream stage
+    params carry the sorted delta set, so a new delta automatically
+    invalidates 20→70 through the params-hash check while an unchanged
+    delta set resumes them. The combined boundary is base ∪ deltas
+    (unionByName over parquet scans — no rewrite of the base).
+
+    Tested equal to a from-scratch run_pipeline over old ∪ new."""
+    import os
+
+    tracker = StageTracker(spark, work_dir, run_id)
+    if not tracker.is_done("10_extract"):
+        raise RuntimeError(
+            "no completed base extract in work_dir — run run_pipeline first"
+        )
+    from .lineage import input_signature, params_hash
+
+    sig = params_hash(input_signature(new_repos))[:12]
+    delta_stage = f"15_delta_{sig}"
+    tracker.materialize(
+        delta_stage,
+        lambda: extract_triples(new_repos),
+        partition_by=["pred"],
+        params={"delta": sig},
+    )
+    deltas = sorted(
+        d[len("stage_"):]
+        for d in os.listdir(work_dir)
+        if d.startswith("stage_15_delta_") and tracker.is_done(d[len("stage_"):])
+    )
+    triples = tracker.load("10_extract")
+    for d in deltas:
+        triples = triples.unionByName(tracker.load(d))
+    down = {"deltas": deltas, "use_lsh": use_lsh}
+    return _downstream(tracker, triples, use_lsh, down)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="repos parquet path or table")
@@ -232,6 +293,9 @@ def main() -> None:
                     help="also drop MinHash-LSH near-duplicate files")
     ap.add_argument("--min-code-quality", type=float, default=None,
                     help="pre-extraction quality gate threshold in [0,1]")
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a DELTA: extract only it, "
+                         "rebuild downstream from the grown boundary")
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -243,11 +307,18 @@ def main() -> None:
         if "." in args.input and not args.input.endswith(".parquet")
         else spark.read.parquet(args.input)
     )
-    out = run_pipeline(
-        spark, repos, args.output, use_lsh=not args.no_lsh, run_id=args.run_id,
-        dedup_files=args.dedup_files, dedup_near=args.dedup_near,
-        min_code_quality=args.min_code_quality,
-    )
+    if args.incremental:
+        out = run_incremental(
+            spark, repos, args.output, use_lsh=not args.no_lsh,
+            run_id=args.run_id,
+        )
+    else:
+        out = run_pipeline(
+            spark, repos, args.output, use_lsh=not args.no_lsh,
+            run_id=args.run_id, dedup_files=args.dedup_files,
+            dedup_near=args.dedup_near,
+            min_code_quality=args.min_code_quality,
+        )
     write_graph(out["nodes"], out["edges"], args.output)
     node_type_histogram(out["nodes"]).show(50, truncate=False)
     relation_histogram(out["edges"]).show(50, truncate=False)

@@ -299,3 +299,52 @@ def test_pipeline_quality_gate(spark, smoke_repos, tmp_path):
     # plan shape: the gate adds zero exchanges over the bare scan
     r = explain_report(quality_gate(smoke_repos, 0.5))
     assert r.exchanges == 0, r.text
+
+
+def test_incremental_ingest_equals_full_rebuild(spark, smoke_repos, tmp_path):
+    """run_incremental(delta) over a base run must produce the same
+    canonical graph as a from-scratch run over base ∪ delta, extract
+    only the delta, and resume idempotently."""
+    import datacapsule_spark.pipeline as P
+    from datacapsule_spark.pipeline import run_incremental
+
+    is_delta = (F.abs(F.xxhash64("repo", "path")) % 5) == 0
+    base = smoke_repos.where(~is_delta)
+    delta = smoke_repos.where(is_delta)
+    assert 0 < delta.count() < smoke_repos.count()
+
+    work = str(tmp_path / "inc")
+    run_pipeline(spark, base, work, use_lsh=False)
+    out_inc = run_incremental(spark, delta, work, use_lsh=False)
+
+    full = run_pipeline(
+        spark, smoke_repos, str(tmp_path / "full"), use_lsh=False
+    )
+    t_inc = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in out_inc["triples"].collect()
+    )
+    t_full = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in full["triples"].collect()
+    )
+    assert t_inc == t_full
+    n_inc = {r["node_id"] for r in out_inc["nodes"].collect()}
+    n_full = {r["node_id"] for r in full["nodes"].collect()}
+    assert n_inc == n_full
+
+    # resubmitting the SAME delta is a pure resume: nothing re-extracts
+    import pytest as _pytest
+
+    def boom(*a, **k):
+        raise AssertionError("extraction re-ran on an unchanged delta set")
+
+    orig = P.extract_triples
+    P.extract_triples = boom
+    try:
+        again = run_incremental(spark, delta, work, use_lsh=False)
+        assert again["triples"].count() == len(t_inc)
+    finally:
+        P.extract_triples = orig
+
+    # without a base run, incremental refuses
+    with _pytest.raises(RuntimeError):
+        run_incremental(spark, delta, str(tmp_path / "nobase"), use_lsh=False)
