@@ -982,3 +982,65 @@ class TestGraphStats:
         assert kept_xx == kept_md5
         with pytest.raises(ValueError):
             minhash_signatures(docs, hash_fn="sha9")
+
+
+class TestRollup:
+    def test_incremental_rollup_equals_full(self, spark, tmp_path):
+        """Two delta refreshes == one full rollup, and the second
+        refresh rewrites ONLY its affected hour partitions."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from datacapsule_spark.operators.rollup import (
+            hourly_rollup,
+            refresh_hourly_rollup,
+            with_avg,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # split by hour parity so delta 2 touches disjoint partitions
+        hr = F.hour(F.col("ts").cast("timestamp"))
+        d1 = events.where(hr % 2 == 0)
+        d2 = events.where(hr % 2 == 1)
+        rdir = str(tmp_path / "rollup")
+
+        h1 = refresh_hourly_rollup(spark, rdir, d1)
+        assert h1  # wrote the even-hour partitions
+        mtimes1 = {
+            e: os.path.getmtime(os.path.join(rdir, e))
+            for e in os.listdir(rdir)
+            if e.startswith("hour=")
+        }
+        time.sleep(1.1)
+        h2 = refresh_hourly_rollup(spark, rdir, d2)
+        assert set(h1).isdisjoint(h2)
+
+        got = {
+            (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+            for r in with_avg(spark.read.parquet(rdir)).collect()
+        }
+        want = {
+            (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+            for r in with_avg(hourly_rollup(events)).collect()
+        }
+        assert got == want
+        # untouched partitions kept their files (dynamic overwrite)
+        for e, t in mtimes1.items():
+            assert os.path.getmtime(os.path.join(rdir, e)) == t, e
+
+    def test_rollup_merge_same_hours(self, spark, tmp_path):
+        """A delta hitting EXISTING hours merges partials, not appends."""
+        from datacapsule_spark.operators.rollup import refresh_hourly_rollup
+
+        rows = [("2024-01-01 10:15:00", "click", 2.0),
+                ("2024-01-01 10:45:00", "click", 4.0)]
+        d1 = spark.createDataFrame(rows[:1], "ts string, event_type string, value double")
+        d2 = spark.createDataFrame(rows[1:], "ts string, event_type string, value double")
+        rdir = str(tmp_path / "r2")
+        refresh_hourly_rollup(spark, rdir, d1)
+        refresh_hourly_rollup(spark, rdir, d2)
+        out = spark.read.parquet(rdir).collect()
+        assert len(out) == 1
+        assert (out[0]["n"], out[0]["sum_value"]) == (2, 6.0)
