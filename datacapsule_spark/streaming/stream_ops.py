@@ -139,3 +139,26 @@ def streaming_decontaminate_hits(
         F.explode(_word_shingles(text_col, shingle_n)).alias("g"),
     )
     return grams.join(bench_grams, "g").select("doc_id", "g")
+
+
+def streaming_hourly_rollup(
+    spark, events_dir: str, rollup_dir: str, checkpoint_dir: str,
+    schema=None, trigger_once: bool = True,
+):
+    """Continuous aggregate: readStream(events) → foreachBatch →
+    operators.rollup.refresh_hourly_rollup. The streaming checkpoint
+    guarantees each micro-batch feeds the rollup exactly once — the
+    precondition refresh_hourly_rollup documents — and every refresh
+    rewrites only the batch's affected hour partitions. Returns the
+    StreamingQuery."""
+    from ..operators.rollup import refresh_hourly_rollup
+
+    if schema is None:  # file streams need an explicit schema
+        schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda batch_df, _id: refresh_hourly_rollup(spark, rollup_dir, batch_df)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

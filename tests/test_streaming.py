@@ -164,3 +164,29 @@ def test_streaming_decontaminate_hits_equals_batch(spark, tmp_path):
         for r in streaming_decontaminate_hits(train, bench).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    """foreachBatch continuous aggregate: streaming all events into the
+    rollup equals the one-shot batch rollup."""
+    from datacapsule_spark.operators.rollup import hourly_rollup, with_avg
+    from datacapsule_spark.streaming.stream_ops import streaming_hourly_rollup
+
+    src = str(tmp_path / "ev_in")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    rdir = str(tmp_path / "rollup_s")
+    q = streaming_hourly_rollup(
+        spark, src, rdir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in with_avg(spark.read.parquet(rdir)).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in with_avg(hourly_rollup(events)).collect()
+    }
+    assert got == want and len(got) > 0
