@@ -232,6 +232,25 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_corpus_balance_broadcasts_total(spark):
+    """The corpus total joins back as a BROADCAST 1-row aggregate (a
+    keyless cross join compiles to BroadcastNestedLoopJoin of the
+    1-row side — the cheap shape) — never a sort-merge join or a
+    whole-corpus window."""
+    r = explain_report(QUERIES["corpus_balance_report"](spark, SF))
+    assert "BroadcastExchange" in r.text, r.text
+    assert r.nested_loop_joins == 1, r.text
+    assert r.sort_merge_joins == 0, r.text
+    assert r.cartesian_products == 0, r.text
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles once on the partition column (the window), then
+    aggregates on a superset key — no second exchange."""
+    r = explain_report(QUERIES["pack_docs_sequences"](spark, SF))
+    assert r.exchanges == 1, r.text
+
+
 def test_read_repos_contract(spark, smoke_corpus_path):
     from datacapsule_spark.sources.repos import read_repos
 
