@@ -515,13 +515,20 @@ def dedup_simhash_docs(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
-def dedup_minhash_pairs_docs(spark, sf_dir):
-    """MinHash+LSH banding (16 hashes, 4 bands × 4 rows) — candidate
-    pairs. md5-derived so the DuckDB oracle reproduces exactly."""
+def _dedup_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     d = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(minhash_signatures(d)).select("a", "b")
+    return minhash_lsh_pairs(
+        minhash_signatures(d, hash_fn="affine"), hash_fn="affine"
+    )
+
+
+def dedup_minhash_pairs_docs(spark, sf_dir):
+    """MinHash+LSH banding (16 hashes, 4 bands × 4 rows) — candidate
+    pairs. Affine hash family (two md5 digests → (a + i·b) mod p): the
+    DuckDB oracle reproduces it exactly at ~3× md5-per-hash speed."""
+    return _dedup_minhash_pairs(spark, sf_dir).select("a", "b")
 
 
 def dedup_embedding_cosine(spark, sf_dir):
@@ -545,14 +552,10 @@ def dedup_lsh_jaccard_docs(spark, sf_dir):
     MinHash signatures → banded LSH candidate pairs → exact n-gram
     Jaccard re-score. Never all-pairs: candidates exist only where a
     band collides; the re-score joins shingles onto candidates only."""
-    from .operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
-        ngram_jaccard_pairs,
-    )
+    from .operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(minhash_signatures(d))
+    pairs = _dedup_minhash_pairs(spark, sf_dir)
     out = ngram_jaccard_pairs(d, pairs, threshold=0.5)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1380,20 +1383,29 @@ FROM bits GROUP BY doc_id
 """
 )
 
-_o("dedup_minhash_pairs_docs")(
-    _SHINGLES_CTE
-    + """
+# shared DuckDB fragment: affine minhash signatures + banded hashes —
+# h_k = (a + (k+1)·b) mod (2^31-1), a/b from two md5 digests per gram
+_AFFINE_BANDS_CTE = """
 , sig AS (
   SELECT doc_id,
          list_transform(range(0, 16),
-           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
+           k -> list_min(list_transform(grams, g ->
+                  ((('0x' || substr(md5(g), 1, 8))::UBIGINT)::BIGINT
+                   + (k + 1) * (('0x' || substr(md5('x' || g), 1, 8))::UBIGINT)::BIGINT)
+                  % 2147483647))) AS s
   FROM sh WHERE len(grams) > 0
 ), bands AS (
   SELECT doc_id, b AS band_idx,
-         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
-           AS band_hash
+         md5(s[b*4+1]::VARCHAR || '|' || s[b*4+2]::VARCHAR || '|' ||
+             s[b*4+3]::VARCHAR || '|' || s[b*4+4]::VARCHAR) AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
 )
+"""
+
+_o("dedup_minhash_pairs_docs")(
+    _SHINGLES_CTE
+    + _AFFINE_BANDS_CTE
+    + """
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
@@ -1402,18 +1414,9 @@ FROM bands l JOIN bands r
 
 _o("dedup_lsh_jaccard_docs")(
     _SHINGLES_CTE
+    + _AFFINE_BANDS_CTE
     + """
-, sig AS (
-  SELECT doc_id,
-         list_transform(range(0, 16),
-           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
-  FROM sh WHERE len(grams) > 0
-), bands AS (
-  SELECT doc_id, b AS band_idx,
-         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
-           AS band_hash
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
-), cand AS (
+, cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
