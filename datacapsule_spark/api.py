@@ -208,7 +208,18 @@ class DatacapsuleAPI:
         import os
 
         os.makedirs(save_dir, exist_ok=True)
-        rid = str(record.get("id") or f"rec-{len(os.listdir(save_dir))}")
+        if "id" in record and record["id"] is not None:  # 0 is a valid id
+            rid = str(record["id"])
+        else:
+            # next free index: max existing rec-N + 1 (len() would
+            # collide after deletes and count leftover .tmp files)
+            taken = [
+                int(f[4:-5])
+                for f in os.listdir(save_dir)
+                if f.startswith("rec-") and f.endswith(".json")
+                and f[4:-5].isdigit()
+            ]
+            rid = f"rec-{max(taken, default=-1) + 1}"
         path = os.path.join(save_dir, f"{rid}.json")
         if os.path.exists(path):
             return False
@@ -220,8 +231,11 @@ class DatacapsuleAPI:
 
     def load_interactions(self, save_dir: str) -> DataFrame:
         """Read every saved interaction back as a DataFrame (the ops
-        table the reference keeps in sqlite — S7's JSON twin)."""
-        return self.spark.read.option("multiLine", "true").json(save_dir)
+        table the reference keeps in sqlite — S7's JSON twin).
+        *.json only: a crashed save's leftover .tmp is never loaded."""
+        return self.spark.read.option("multiLine", "true").json(
+            f"{save_dir}/*.json"
+        )
 
     def register_tables(self, tables: dict[str, DataFrame]) -> None:
         """Expose DataFrames to query_database (SQL views), including

@@ -143,9 +143,21 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
     rows = [(n, find(n)) for n in parent] + [
         (root, root) for root in {find(n) for n in parent}
     ]
-    return spark.createDataFrame(
-        sorted(set(rows)), "node_id string, canonical_id string"
+    # output schema mirrors the INPUT id dtype (string ids in the KG
+    # pipeline, bigint doc ids in near_dedup) — hardcoding string here
+    # made the mapping dtype depend on which side of driver_threshold
+    # the graph landed, and long-vs-string joins degrade via double
+    # casts above 2^53
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["u"].dataType
+    schema = StructType(
+        [
+            StructField("node_id", id_type, False),
+            StructField("canonical_id", id_type, False),
+        ]
     )
+    return spark.createDataFrame(sorted(set(rows)), schema)
 
 
 def apply_canonical(

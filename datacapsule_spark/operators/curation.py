@@ -261,8 +261,11 @@ def rebalance_by_source(
     one aggregation; the per-source thresholds broadcast back as a
     tiny dim — the corpus itself is filtered in place, never
     shuffled."""
-    counts = docs.groupBy(source_col).agg(F.count("*").alias("_cnt"))
-    total = docs.count()
+    # ONE corpus scan: totals derive from the materialized counts
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_cnt")).localCheckpoint(
+        eager=True
+    )
+    total = counts.agg(F.sum("_cnt")).collect()[0][0] or 0
     share_items = list(target_shares.items())
     share_df = docs.sparkSession.createDataFrame(
         share_items, f"{source_col} string, _target double"

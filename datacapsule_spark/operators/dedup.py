@@ -300,24 +300,28 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Substring-containment dedup: (inner_id, outer_id) pairs where
-    inner's text is a verbatim substring of outer's (lowercased,
-    trimmed) — catches quote-inclusion / wrapper-page duplication that
-    Jaccard misses when lengths differ a lot.
+    """Token-sequence containment dedup: (inner_id, outer_id) pairs
+    where inner's token sequence (lowercased, whitespace-normalized)
+    appears as a CONTIGUOUS run of outer's tokens — catches
+    quote-inclusion / wrapper-page duplication that Jaccard misses
+    when lengths differ a lot. Token-boundary semantics (not raw char
+    substring: 'a b' inside 'xa b' does NOT match) is what makes the
+    blocking below complete.
 
     Blocking is prefix-filter style and COMPLETE: each candidate inner
     doc contributes only its globally RAREST shingle (min document
     frequency, gram as tiebreak); the join probes every (doc, shingle)
-    row with it. If inner ⊆ outer then outer's text contains every
-    shingle of inner — including the rarest — so no true pair is
-    missed, and the output is exactly the containment relation over
-    docs with >= shingle_n tokens. Candidate volume is sum over docs
-    of df(rarest shingle): near-unique shingles prune almost
-    everything, and no frequent key ever fans out. Verify: exact
-    JVM-side contains() on the two texts, fetched by id-keyed joins.
-    Ties (equal text) emit only inner_id < outer_id; docs shorter
-    than shingle_n tokens never block (screen those with exact_dedup
-    first)."""
+    row with it. If inner's tokens are a contiguous run of outer's,
+    every shingle of inner is a shingle of outer — including the
+    rarest — so no true pair is missed, and the output is exactly the
+    token-containment relation over docs with >= shingle_n tokens.
+    Candidate volume is sum over docs of df(rarest shingle):
+    near-unique shingles prune almost everything, and no frequent key
+    ever fans out. Verify: exact JVM-side contains() over
+    space-delimited normalized token strings (padded with boundary
+    spaces), fetched by id-keyed joins. Ties (equal token sequence)
+    emit only inner_id < outer_id; docs shorter than shingle_n tokens
+    never block (screen those with exact_dedup first)."""
     sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
     )  # consumed by the df agg, the argmin, and the probe side
@@ -337,9 +341,19 @@ def containment_pairs(
         .select(F.col("l.doc_id").alias("inner_id"), F.col("r.doc_id").alias("outer_id"))
         .distinct()
     )
-    txt = docs.select(
-        F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_lt")
+    # normalized token string with boundary pads: ' t1 t2 ... tn '
+    norm = F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            ),
+        ),
+        F.lit(" "),
     )
+    txt = docs.select(F.col(id_col).alias("_id"), norm.alias("_lt"))
     a = txt.select(F.col("_id").alias("inner_id"), F.col("_lt").alias("_ta"))
     b = txt.select(F.col("_id").alias("outer_id"), F.col("_lt").alias("_tb"))
     return (

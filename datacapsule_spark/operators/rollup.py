@@ -1,13 +1,16 @@
 """Incrementally-maintained time rollups (hypertable continuous
 aggregates, TimescaleDB-style) over the events table.
 
-The rollup stores MERGEABLE partials (n, sum_value) — never avg — so a
-delta batch folds in with one union+re-aggregate of only the affected
-hours. Refresh writes through Spark's DYNAMIC partition overwrite:
-only the hour partitions present in the merged frame are replaced; the
-rest of the rollup is untouched on disk (asserted by file mtimes in
-tests). At 100 TB the rollup read is partition-pruned to the delta's
-hours, so refresh cost scales with the delta, not rollup history.
+The rollup stores MERGEABLE partials (n, sum_value) — never avg — one
+row per (hour, event_type, batch): a delta batch folds in by rewriting
+only its affected hour partitions, and because each batch's rows are
+keyed by its batch id, REPLAYING a batch replaces its own prior rows
+instead of double-counting — refresh is idempotent per batch id, which
+is exactly what an at-least-once feed (Structured Streaming
+foreachBatch) needs for effectively-once results. Reads aggregate the
+partials (read_rollup / with_avg); at 100 TB the refresh reads are
+partition-pruned to the delta's hours, so cost scales with the delta,
+not rollup history.
 """
 
 from __future__ import annotations
@@ -33,6 +36,19 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Aggregate the per-batch partials to (hour, event_type, n,
+    sum_value) — the serving shape."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def with_avg(rollup: DataFrame) -> DataFrame:
     """The serving view: avg derives from the partials at read time."""
     return rollup.withColumn(
@@ -41,35 +57,47 @@ def with_avg(rollup: DataFrame) -> DataFrame:
 
 
 def refresh_hourly_rollup(
-    spark: SparkSession, rollup_dir: str, events_delta: DataFrame
+    spark: SparkSession,
+    rollup_dir: str,
+    events_delta: DataFrame,
+    batch_id: str | int | None = None,
 ) -> list[str]:
     """Fold a delta batch into the on-disk rollup; returns the list of
     affected hour partitions.
 
     Plan: aggregate the delta (small), collect its affected hours (a
     bounded driver list — hours, not rows), read ONLY those partitions
-    back from the rollup (partition-pruned scan), merge partials by
-    (hour, event_type), and rewrite just those partitions via dynamic
-    partition overwrite. Idempotence note: re-running the SAME delta
-    double-counts — feed each batch once (pair with
-    streaming_exact_dedup / StageTracker markers upstream for
-    exactly-once feeds)."""
+    back (partition-pruned scan), drop any rows previously written by
+    THIS batch id, and rewrite just those partitions through dynamic
+    partition overwrite with the delta's rows appended. Re-running the
+    same batch id therefore replaces rather than double-counts —
+    idempotent under at-least-once delivery. batch_id=None derives a
+    deterministic id from the delta's aggregated content, so even an
+    accidental ad-hoc replay of the identical delta is a no-op."""
     delta = hourly_rollup(events_delta).localCheckpoint(eager=True)
     hours = [r["hour"] for r in delta.select("hour").distinct().collect()]
     if not hours:
         return []
+    if batch_id is None:
+        chk = delta.select(
+            F.bit_xor(F.xxhash64("hour", "event_type", "n", "sum_value")).alias("h")
+        ).collect()[0]["h"]
+        batch_id = f"adhoc-{chk & 0xFFFFFFFFFFFF:012x}"
+    batch_id = str(batch_id)
+    delta = delta.withColumn("_batch", F.lit(batch_id))
+
     import os
 
     merged = delta
     if os.path.isdir(rollup_dir) and any(
         e.startswith("hour=") for e in os.listdir(rollup_dir)
     ):
-        existing = spark.read.parquet(rollup_dir).where(F.col("hour").isin(hours))
+        existing = (
+            spark.read.parquet(rollup_dir)
+            .where(F.col("hour").isin(hours))
+            .where(F.col("_batch") != batch_id)  # replay replaces itself
+        )
         merged = delta.unionByName(existing.select(*delta.columns))
-    merged = merged.groupBy("hour", "event_type").agg(
-        F.sum("n").alias("n"),
-        F.round(F.sum("sum_value"), 6).alias("sum_value"),
-    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

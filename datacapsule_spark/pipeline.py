@@ -233,6 +233,7 @@ def run_incremental(
     work_dir: str,
     use_lsh: bool = True,
     run_id: str = "run0",
+    min_code_quality: float | None = None,
 ) -> dict[str, DataFrame]:
     """Incremental ingest: extract ONLY the newly-arrived files and
     rebuild downstream from the grown boundary — the base corpus is
@@ -243,15 +244,32 @@ def run_incremental(
     cost scales with the triple stream, not the raw corpus.
 
     Mechanics: each delta becomes its OWN stage boundary
-    (15_delta_<input-hash>) via the normal atomic materialize — a
-    killed ingest re-runs idempotently (overwrite + marker-last), and
-    re-submitting the same delta is a no-op resume. Downstream stage
-    params carry the sorted delta set, so a new delta automatically
-    invalidates 20→70 through the params-hash check while an unchanged
-    delta set resumes them. The combined boundary is base ∪ deltas
-    (unionByName over parquet scans — no rewrite of the base).
+    (15_delta_<seq>_<input-hash>) via the normal atomic materialize —
+    a killed ingest re-runs idempotently (overwrite + marker-last),
+    and re-submitting an already-ingested delta resumes its existing
+    stage (<seq> is assigned once per new input hash). Downstream
+    stage params carry the base extract's marker hash plus the ordered
+    delta set, so a new delta — or a rebuilt base — invalidates 20→70
+    through the params-hash check, while an unchanged state resumes.
 
-    Tested equal to a from-scratch run_pipeline over old ∪ new."""
+    File identity & supersede rule: a delta may re-ship a (repo, path)
+    the base or an earlier delta already carries (an updated file
+    version). The combined boundary keeps only the NEWEST version:
+    earlier boundaries are anti-joined against the file sets of later
+    deltas (delta file sets are small), preserving the per-file
+    uniqueness invariant the downstream builders rely on. Re-shipping
+    identical content under a DIFFERENT path is a corpus-dedup concern
+    (run the base with dedup_files/dedup_near); min_code_quality
+    composes per file and is applied to the delta here.
+
+    Delta identity: input_signature, augmented for non-file-backed
+    frames (whose signature is schema-only) with an order-insensitive
+    xxhash64 content checksum — two different in-memory deltas never
+    collide on the stage key.
+
+    Tested equal to a from-scratch run_pipeline over old ∪ new,
+    including an updated-file delta."""
+    import json
     import os
 
     tracker = StageTracker(spark, work_dir, run_id)
@@ -261,24 +279,57 @@ def run_incremental(
         )
     from .lineage import input_signature, params_hash
 
-    sig = params_hash(input_signature(new_repos))[:12]
-    delta_stage = f"15_delta_{sig}"
+    ident = input_signature(new_repos)
+    if "files_md5" not in ident:
+        row = new_repos.select(  # bit_xor: order-insensitive, no overflow
+            F.bit_xor(F.xxhash64(*new_repos.columns)).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        ident["content_xxh"] = [row["h"], row["n"]]
+    sig = params_hash(ident)[:12]
+
+    existing = sorted(
+        d for d in os.listdir(work_dir) if d.startswith("stage_15_delta_")
+    )
+    same = [d for d in existing if d.endswith(f"_{sig}")]
+    if same:
+        delta_stage = same[0][len("stage_"):]
+    else:
+        delta_stage = f"15_delta_{len(existing):04d}_{sig}"
+
+    source = new_repos
+    if min_code_quality is not None:
+        from .operators.code_quality import quality_gate
+
+        source = quality_gate(source, min_code_quality)
     tracker.materialize(
         delta_stage,
-        lambda: extract_triples(new_repos),
+        lambda: extract_triples(source),
         partition_by=["pred"],
-        params={"delta": sig},
+        params={"delta": sig, "min_code_quality": min_code_quality},
     )
-    deltas = sorted(
+
+    deltas = sorted(  # zero-padded <seq> makes name order = ingest order
         d[len("stage_"):]
         for d in os.listdir(work_dir)
         if d.startswith("stage_15_delta_") and tracker.is_done(d[len("stage_"):])
     )
-    triples = tracker.load("10_extract")
-    for d in deltas:
-        triples = triples.unionByName(tracker.load(d))
-    down = {"deltas": deltas, "use_lsh": use_lsh}
-    return _downstream(tracker, triples, use_lsh, down)
+    # newest-wins combination: fold from the last delta backwards,
+    # anti-joining each earlier boundary against the files seen later
+    boundaries = ["10_extract"] + deltas
+    dfs = [tracker.load(b) for b in boundaries]
+    combined = dfs[-1]
+    seen = dfs[-1].select("repo", "path").distinct()
+    for df in reversed(dfs[:-1]):
+        combined = combined.unionByName(
+            df.join(seen, ["repo", "path"], "left_anti")
+        )
+        seen = seen.unionByName(df.select("repo", "path")).distinct()
+
+    with open(tracker._marker("10_extract")) as f:
+        base_hash = json.load(f).get("params_hash")
+    down = {"base": base_hash, "deltas": deltas, "use_lsh": use_lsh}
+    return _downstream(tracker, combined, use_lsh, down)
 
 
 def main() -> None:
@@ -310,7 +361,7 @@ def main() -> None:
     if args.incremental:
         out = run_incremental(
             spark, repos, args.output, use_lsh=not args.no_lsh,
-            run_id=args.run_id,
+            run_id=args.run_id, min_code_quality=args.min_code_quality,
         )
     else:
         out = run_pipeline(

@@ -1601,11 +1601,15 @@ WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 )
 
 _o("dedup_containment_docs")(
-    # the Spark blocking is COMPLETE, so the oracle is the brute-force
-    # containment relation itself (restricted to docs with >= 5 tokens)
+    # the Spark blocking is COMPLETE for token-boundary containment,
+    # so the oracle is the brute-force containment relation over
+    # boundary-padded normalized token strings (docs with >= 5 tokens)
     """
 WITH d AS (
-  SELECT doc_id, lower(trim(text)) AS lt,
+  SELECT doc_id,
+         ' ' || array_to_string(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> ''), ' ') || ' ' AS lt,
          len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                          x -> x <> '')) AS nt
   FROM documents

@@ -146,18 +146,22 @@ def streaming_hourly_rollup(
     schema=None, trigger_once: bool = True,
 ):
     """Continuous aggregate: readStream(events) → foreachBatch →
-    operators.rollup.refresh_hourly_rollup. The streaming checkpoint
-    guarantees each micro-batch feeds the rollup exactly once — the
-    precondition refresh_hourly_rollup documents — and every refresh
-    rewrites only the batch's affected hour partitions. Returns the
-    StreamingQuery."""
+    operators.rollup.refresh_hourly_rollup. foreachBatch delivery is
+    AT-LEAST-ONCE (a crash between the sink write and the checkpoint
+    commit replays the batch), so the refresh is keyed by the
+    micro-batch id: a replayed batch REPLACES its own prior partial
+    rows instead of double-counting — effectively-once results from an
+    at-least-once feed. Every refresh rewrites only the batch's
+    affected hour partitions. Returns the StreamingQuery."""
     from ..operators.rollup import refresh_hourly_rollup
 
     if schema is None:  # file streams need an explicit schema
         schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     writer = stream.writeStream.foreachBatch(
-        lambda batch_df, _id: refresh_hourly_rollup(spark, rollup_dir, batch_df)
+        lambda batch_df, bid: refresh_hourly_rollup(
+            spark, rollup_dir, batch_df, batch_id=bid
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
         writer = writer.trigger(availableNow=True)

@@ -59,9 +59,16 @@ def delete(spark: SparkSession, path: str, ids: list[str], version: int) -> None
 def read(spark: SparkSession, path: str) -> DataFrame:
     """Resolved view: latest version per id, tombstones dropped. One
     shuffle on id; at scale the window prunes to the partitions a
-    query touches when the store is written bucketed by id."""
+    query touches when the store is written bucketed by id.
+
+    Same-version ties resolve DETERMINISTICALLY: the tombstone wins
+    (a delete and an upsert stamped with the same version read as
+    deleted — the conservative order), never an arbitrary shuffle-
+    dependent pick."""
     df = spark.read.parquet(path)
-    w = Window.partitionBy("id").orderBy(F.desc("_version"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("_version"), F.desc("_deleted")
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") == 1) & (~F.col("_deleted")))

@@ -165,3 +165,26 @@ def test_query_registry_consistency():
     # rows-only entries (no oracle) are the deliberate, documented few
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {"graph_pagerank_cosupply"}
+
+
+def test_save_interaction_id_edge_cases(spark, tmp_path):
+    """id=0 is a valid key (duplicate rejected); auto ids skip deleted
+    slots and ignore leftover .tmp files; load reads *.json only."""
+    import os
+
+    from datacapsule_spark.api import DatacapsuleAPI
+
+    api = DatacapsuleAPI.__new__(DatacapsuleAPI)  # sink needs no graph
+    api.spark = spark
+    d = str(tmp_path / "saves")
+    assert api.save_interaction({"id": 0, "q": "a"}, d)
+    assert not api.save_interaction({"id": 0, "q": "b"}, d)  # dup id=0
+    assert api.save_interaction({"q": "auto1"}, d)  # rec-0
+    # crashed save leaves a .tmp; a deleted record frees rec-0's slot? no:
+    # auto ids must move FORWARD (max+1), never reuse, never count .tmp
+    open(os.path.join(d, "rec-7.json.tmp"), "w").write("{}")
+    assert api.save_interaction({"q": "auto2"}, d)  # rec-1
+    names = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+    assert names == ["0.json", "rec-0.json", "rec-1.json"]
+    rows = api.load_interactions(d)
+    assert rows.count() == 3  # .tmp never loaded

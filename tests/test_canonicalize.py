@@ -124,3 +124,19 @@ def test_linking_plus_cc_resolves_planted_aliases(spark):
     assert mapping["sym:http_client"] == mapping["sym:HttpClient"]
     assert mapping["sym:graph_node"] == mapping["sym:GraphNode"]
     assert "sym:Unrelated" not in mapping  # singleton: maps to itself implicitly
+
+
+def test_cc_preserves_input_id_dtype(spark):
+    """The mapping dtype must mirror the input id dtype on BOTH
+    execution paths (driver union-find and distributed star loop) —
+    a long-id graph must never come back as strings."""
+    from datacapsule_spark.canonicalize import connected_components
+
+    e = spark.createDataFrame([(10, 11), (11, 12), (99, 100)], "a long, b long")
+    small = connected_components(e, "a", "b")  # driver path
+    assert dict(small.dtypes) == {"node_id": "bigint", "canonical_id": "bigint"}
+    big = connected_components(e, "a", "b", driver_threshold=0)  # distributed
+    assert dict(big.dtypes) == {"node_id": "bigint", "canonical_id": "bigint"}
+    as_set = lambda df: {(r["node_id"], r["canonical_id"]) for r in df.collect()}
+    assert as_set(small) == as_set(big)
+    assert (10, 10) in as_set(small) and (12, 10) in as_set(small)

@@ -995,6 +995,7 @@ class TestRollup:
 
         from datacapsule_spark.operators.rollup import (
             hourly_rollup,
+            read_rollup,
             refresh_hourly_rollup,
             with_avg,
         )
@@ -1019,7 +1020,7 @@ class TestRollup:
 
         got = {
             (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
-            for r in with_avg(spark.read.parquet(rdir)).collect()
+            for r in with_avg(read_rollup(spark, rdir)).collect()
         }
         want = {
             (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
@@ -1041,6 +1042,40 @@ class TestRollup:
         rdir = str(tmp_path / "r2")
         refresh_hourly_rollup(spark, rdir, d1)
         refresh_hourly_rollup(spark, rdir, d2)
-        out = spark.read.parquet(rdir).collect()
+        from datacapsule_spark.operators.rollup import read_rollup
+
+        out = read_rollup(spark, rdir).collect()
         assert len(out) == 1
         assert (out[0]["n"], out[0]["sum_value"]) == (2, 6.0)
+        # REPLAY of an already-applied batch is a no-op (idempotence
+        # under at-least-once delivery): same delta, same derived id
+        refresh_hourly_rollup(spark, rdir, d2)
+        refresh_hourly_rollup(spark, rdir, d2, batch_id="b7")
+        refresh_hourly_rollup(spark, rdir, d2, batch_id="b7")
+        out = read_rollup(spark, rdir).collect()
+        # one extra copy from the explicit NEW batch id b7, not three
+        assert (out[0]["n"], out[0]["sum_value"]) == (3, 10.0)
+
+    def test_containment_token_boundary_semantics(self, spark):
+        """Token-boundary containment: a char-level substring landing
+        mid-token is NOT a match (the semantics under which the
+        rarest-shingle blocking is provably complete)."""
+        from datacapsule_spark.operators.dedup import containment_pairs
+
+        d = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "prefixalpha beta gamma delta epsilon"),  # mid-token
+                (3, "x alpha beta gamma delta epsilon y"),    # boundary
+                (4, "alpha  beta   gamma delta epsilon"),     # ws-normalized dup
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["inner_id"], r["outer_id"])
+            for r in containment_pairs(d, shingle_n=5).collect()
+        }
+        assert (1, 3) in got
+        assert (1, 2) not in got  # 'prefixalpha' does not contain token 'alpha'
+        assert (1, 4) in got and (4, 1) not in got  # normalized tie → a<b
+        assert (4, 3) in got

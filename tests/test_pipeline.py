@@ -348,3 +348,65 @@ def test_incremental_ingest_equals_full_rebuild(spark, smoke_repos, tmp_path):
     # without a base run, incremental refuses
     with _pytest.raises(RuntimeError):
         run_incremental(spark, delta, str(tmp_path / "nobase"), use_lsh=False)
+
+
+def test_incremental_updated_file_supersedes(spark, smoke_repos, tmp_path):
+    """A delta re-shipping an existing (repo, path) replaces that
+    file's triples (newest wins) — no duplicate per-file rows; and two
+    DIFFERENT in-memory deltas get distinct stage keys (content
+    checksum, not schema-only identity)."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.pipeline import run_incremental
+
+    work = str(tmp_path / "upd")
+    run_pipeline(spark, smoke_repos, work, use_lsh=False)
+
+    # delta 1: updated versions of 10 existing files (content changed)
+    upd = (
+        smoke_repos.limit(10)
+        .select(
+            "repo", "path", "commit", "lang",
+            F.concat("content", F.lit("\nupdated_marker = 1\n")).alias("content"),
+        )
+        .localCheckpoint(eager=True)  # in-memory: schema-only signature
+    )
+    out1 = run_incremental(spark, upd, work, use_lsh=False)
+    # per-file uniqueness invariant: exactly one has_loc triple per file
+    dup_files = (
+        out1["triples_raw"].where(F.col("pred") == "has_loc")
+        .groupBy("subj").count().where(F.col("count") > 1).count()
+    )
+    assert dup_files == 0
+    # the surviving triples for an updated file carry the NEW content's
+    # sha256 (newest wins), not the base version's
+    import hashlib
+
+    first = upd.orderBy("repo", "path").first()
+    want_sha = hashlib.sha256(first["content"].encode()).hexdigest()
+    got_shas = {
+        r["content_sha256"]
+        for r in out1["triples_raw"]
+        .where((F.col("repo") == first["repo"]) & (F.col("path") == first["path"]))
+        .select("content_sha256")
+        .distinct()
+        .collect()
+    }
+    assert got_shas == {want_sha}
+
+    # delta 2: in-memory, SAME schema, different rows — must not
+    # collide with delta 1's stage key
+    brand_new = (
+        smoke_repos.limit(5)
+        .select(
+            F.concat(F.lit("late/"), "repo").alias("repo"),
+            "path", "commit", "lang", "content",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out2 = run_incremental(spark, brand_new, work, use_lsh=False)
+    late = (
+        out2["triples_raw"].where(F.col("repo").startswith("late/"))
+        .select("path").distinct().count()
+    )
+    assert late == 5

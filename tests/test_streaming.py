@@ -169,7 +169,7 @@ def test_streaming_decontaminate_hits_equals_batch(spark, tmp_path):
 def test_streaming_rollup_equals_batch(spark, tmp_path):
     """foreachBatch continuous aggregate: streaming all events into the
     rollup equals the one-shot batch rollup."""
-    from datacapsule_spark.operators.rollup import hourly_rollup, with_avg
+    from datacapsule_spark.operators.rollup import hourly_rollup, read_rollup, with_avg
     from datacapsule_spark.streaming.stream_ops import streaming_hourly_rollup
 
     src = str(tmp_path / "ev_in")
@@ -183,7 +183,7 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
-        for r in with_avg(spark.read.parquet(rdir)).collect()
+        for r in with_avg(read_rollup(spark, rdir)).collect()
     }
     want = {
         (r["hour"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])

@@ -52,3 +52,27 @@ def test_delete_tombstone_and_compact(spark, tmp_path):
               path, version=3)
     got = {r["id"]: r["name"] for r in vs.read(spark, path).collect()}
     assert got["b"] == "b-back" and len(got) == 3
+
+
+def test_same_version_tie_tombstone_wins(spark, tmp_path):
+    """A delete and an upsert stamped with the SAME version resolve
+    deterministically: the tombstone wins (conservative order), and
+    compact() bakes the same outcome."""
+    from datacapsule_spark import vector_store as vs
+
+    path = str(tmp_path / "store_tie")
+    df = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.0, 1.0])], "id string, embedding array<double>"
+    )
+    vs.upsert(df, path, version=1)
+    vs.delete(spark, path, ["x"], version=5)
+    vs.upsert(
+        spark.createDataFrame([("x", [9.0, 9.0])], "id string, embedding array<double>"),
+        path,
+        version=5,
+    )
+    for _ in range(3):  # stable across repeated reads
+        ids = {r["id"] for r in vs.read(spark, path).collect()}
+        assert ids == {"y"}
+    vs.compact(spark, path)
+    assert {r["id"] for r in vs.read(spark, path).collect()} == {"y"}
