@@ -143,23 +143,15 @@ def minhash_signatures(
     (DuckDB has no xxhash64), same banding semantics; the pipeline's
     near-dedup stage uses it (equivalence pytest on the gated chain).
     """
+    # NOTE an affine family ((a + i·b) mod p from two digests) was
+    # tried and REVERTED: warm-session A/Bs showed it 3× faster, but
+    # fresh-JVM isolation inverted the ordering (md5-per-hash wins on
+    # this host — the window/shuffle dominates, and conv(hex) costs
+    # more than short-string md5). Kept out per the measurement
+    # discipline in CLAUDE.md.
     if hash_fn == "md5":
         def h(i):
             return F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))
-    elif hash_fn == "affine":
-        # classic affine family h_i = (a + (i+1)·b) mod (2^31 - 1) with
-        # a, b drawn from TWO md5 digests per shingle instead of
-        # n_hashes — still engine-portable (integer arithmetic is
-        # exact everywhere) at ~3× the throughput of md5-per-hash
-        # (codegen shares the two digest subexpressions across the 16
-        # min-aggregates)
-        a = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
-        b = F.conv(
-            F.substring(F.md5(F.concat(F.lit("x"), F.col("g"))), 1, 8), 16, 10
-        ).cast("bigint")
-
-        def h(i):
-            return (a + F.lit(i + 1) * b) % F.lit(2147483647)
     elif hash_fn == "xxhash64":
         def h(i):
             return F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("g")))
@@ -194,8 +186,6 @@ def minhash_lsh_pairs(
         ]
         if hash_fn == "md5":
             return F.md5(F.concat_ws("|", *elems))
-        if hash_fn == "affine":  # bigint elems; int→string is portable
-            return F.md5(F.concat_ws("|", *[e.cast("string") for e in elems]))
         if hash_fn == "xxhash64":
             return F.xxhash64(*elems)
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")

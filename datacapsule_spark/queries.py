@@ -519,15 +519,12 @@ def _dedup_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     d = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(
-        minhash_signatures(d, hash_fn="affine"), hash_fn="affine"
-    )
+    return minhash_lsh_pairs(minhash_signatures(d))
 
 
 def dedup_minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH banding (16 hashes, 4 bands × 4 rows) — candidate
-    pairs. Affine hash family (two md5 digests → (a + i·b) mod p): the
-    DuckDB oracle reproduces it exactly at ~3× md5-per-hash speed."""
+    pairs. md5-derived so the DuckDB oracle reproduces exactly."""
     return _dedup_minhash_pairs(spark, sf_dir).select("a", "b")
 
 
@@ -1383,28 +1380,24 @@ FROM bits GROUP BY doc_id
 """
 )
 
-# shared DuckDB fragment: affine minhash signatures + banded hashes —
-# h_k = (a + (k+1)·b) mod (2^31-1), a/b from two md5 digests per gram
-_AFFINE_BANDS_CTE = """
+# shared DuckDB fragment: md5 minhash signatures + banded hashes
+_MINHASH_BANDS_CTE = """
 , sig AS (
   SELECT doc_id,
          list_transform(range(0, 16),
-           k -> list_min(list_transform(grams, g ->
-                  ((('0x' || substr(md5(g), 1, 8))::UBIGINT)::BIGINT
-                   + (k + 1) * (('0x' || substr(md5('x' || g), 1, 8))::UBIGINT)::BIGINT)
-                  % 2147483647))) AS s
+           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
   FROM sh WHERE len(grams) > 0
 ), bands AS (
   SELECT doc_id, b AS band_idx,
-         md5(s[b*4+1]::VARCHAR || '|' || s[b*4+2]::VARCHAR || '|' ||
-             s[b*4+3]::VARCHAR || '|' || s[b*4+4]::VARCHAR) AS band_hash
+         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
+           AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
 )
 """
 
 _o("dedup_minhash_pairs_docs")(
     _SHINGLES_CTE
-    + _AFFINE_BANDS_CTE
+    + _MINHASH_BANDS_CTE
     + """
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
@@ -1414,7 +1407,7 @@ FROM bands l JOIN bands r
 
 _o("dedup_lsh_jaccard_docs")(
     _SHINGLES_CTE
-    + _AFFINE_BANDS_CTE
+    + _MINHASH_BANDS_CTE
     + """
 , cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
