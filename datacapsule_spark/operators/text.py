@@ -209,6 +209,45 @@ def token_stats(
     )
 
 
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Column profile — (column_name, n_nulls, n_distinct, min_value,
+    max_value) per column — the data-quality screen a pipeline runs
+    before trusting a new source. ONE distributed aggregation computes
+    every column's stats in a single pass; the 1×(4·k) result row is
+    reshaped to k rows on the driver (k = column count, not data).
+
+    exact=True uses count(DISTINCT) (oracle-reproducible); at 100 TB
+    pass exact=False for approx_count_distinct (HLL sketch, one pass,
+    no expand — no SQL oracle twin, ±2% by construction). min/max are
+    computed on the native type, then rendered as strings (portable
+    for int/string columns; float rendering is engine-specific)."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        distinct = (
+            F.countDistinct(c) if exact else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (c, row[f"{c}__nulls"], row[f"{c}__distinct"],
+         row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token list (Broder-sketch-lite; detects shuffled dupes)."""

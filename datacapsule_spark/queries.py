@@ -697,6 +697,49 @@ def pack_docs_sequences(spark, sf_dir):
     )
 
 
+def profile_part_columns(spark, sf_dir):
+    """S8 extension: data-quality profile of the part table's int and
+    string columns (nulls / distincts / min / max) in one pass."""
+    from .operators.text import profile_table
+
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    return profile_table(_t(spark, sf_dir, "part"), cols)
+
+
+def diff_orders_snapshots(spark, sf_dir):
+    """Snapshot diff: two deterministic versions of orders (v1 drops
+    keys %97==0, v2 drops %89==0 and bumps price on %83==0) diffed by
+    hash-compare full-outer join — churn rows only, one exchange/side."""
+    from .operators.diff import table_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    old = base.where(k % 97 != 0)
+    new = base.where(k % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 83 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+def skew_report_events(spark, sf_dir):
+    """Hot-key screen: per-key counts vs the median key count; events
+    keyed by a synthetic skewed key (1/3 of rows share one key)."""
+    from .operators.diff import skew_report
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skey",
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("event_id") % 500).cast("string"))
+        ),
+    )
+    return skew_report(ev, ["skey"], threshold=10.0)
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -995,6 +1038,9 @@ QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "sample_per_source_topn": sample_per_source_topn,
     "corpus_token_stats": corpus_token_stats,
+    "profile_part_columns": profile_part_columns,
+    "diff_orders_snapshots": diff_orders_snapshots,
+    "skew_report_events": skew_report_events,
     "corpus_balance_report": corpus_balance_report,
     "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
@@ -1531,6 +1577,60 @@ SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df,
                 / (count(DISTINCT doc_id) + 1)) + 1, 6) AS idf
 FROM toks WHERE tok <> ''
 GROUP BY tok HAVING count(DISTINCT doc_id) >= 3
+"""
+)
+
+_o("profile_part_columns")(
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name,
+       count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value,
+       max({c})::VARCHAR AS max_value
+FROM part"""
+        for c in ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    )
+)
+
+_o("diff_orders_snapshots")(
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM base WHERE o_orderkey % 89 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+)
+
+_o("skew_report_events")(
+    """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot'
+              ELSE 'k' || (event_id % 500)::VARCHAR END AS skey
+  FROM events
+),
+counts AS (SELECT skey, count(*)::BIGINT AS n_rows FROM keyed GROUP BY skey),
+med AS (SELECT quantile_disc(n_rows, 0.5)::BIGINT AS median_count FROM counts)
+SELECT skey, n_rows, median_count,
+       round(n_rows / median_count::DOUBLE, 4) AS skew_ratio
+FROM counts, med
+WHERE n_rows / median_count::DOUBLE > 10.0
 """
 )
 

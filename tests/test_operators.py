@@ -1079,3 +1079,24 @@ class TestRollup:
         assert (1, 2) not in got  # 'prefixalpha' does not contain token 'alpha'
         assert (1, 4) in got and (4, 1) not in got  # normalized tie → a<b
         assert (4, 3) in got
+
+
+class TestProfile:
+    def test_profile_table(self, spark):
+        from datacapsule_spark.operators.text import profile_table
+
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "c"), (None, "a")],
+            "k long, s string",
+        )
+        out = {r["column_name"]: r for r in profile_table(d).collect()}
+        assert (out["k"]["n_nulls"], out["k"]["n_distinct"]) == (1, 2)
+        assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "2")
+        assert (out["s"]["n_nulls"], out["s"]["n_distinct"]) == (1, 2)
+        assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "c")
+        # approx path: same shape, distinct within HLL tolerance
+        approx = {
+            r["column_name"]: r["n_distinct"]
+            for r in profile_table(d, exact=False).collect()
+        }
+        assert abs(approx["k"] - 2) <= 1
