@@ -352,3 +352,47 @@ def per_source_quota(
         docs.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+# (name, Java+RE2-compatible regex, replacement token). Patterns avoid
+# backreferences and lookaround so the SAME string works in Spark
+# (java.util.regex) and the DuckDB oracle (RE2) — the cross-engine
+# contract this module promises. Ordered: emails first so an address's
+# digit runs are gone before the ip/phone passes scan the text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """C4/CCNet-style PII scrub: emails, IPv4s, phone numbers replaced
+    by type tokens, with a per-document hit count per pattern.
+
+    Pure chained regexp_replace column expressions — JVM-side, inside
+    whole-stage codegen, no Python in the loop, so the scrub runs at
+    scan speed on 100 TB (zero exchanges; the filter/projection above
+    it still pushes down). Counts are measured on the ORIGINAL text
+    (size(regexp_extract_all)), replacements applied in PII_PATTERNS
+    order. Output: input columns with text_col redacted, plus
+    n_<name> per pattern and pii_total."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = docs
+    redacted = F.col(text_col)
+    counts = []
+    for name, rx, token in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))),
+        )
+        counts.append(F.col(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, rx, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.withColumn(text_col, redacted).withColumn("pii_total", total)

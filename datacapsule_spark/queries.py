@@ -740,6 +740,39 @@ def skew_report_events(spark, sf_dir):
     return skew_report(ev, ["skey"], threshold=10.0)
 
 
+def pii_redact_docs(spark, sf_dir):
+    """C4-style PII scrub: deterministic emails/IPv4s/phones injected
+    from doc_id (the synthetic corpus has none), then redacted by the
+    chained-regexp operator — counts + md5 of the scrubbed text."""
+    from .operators.curation import redact_pii
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), d.cast("string"), F.lit("@mail.example.org"),
+            F.lit(" from 10.1."), (d % 256).cast("string"), F.lit(".7"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" tel 555-010-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    r = redact_pii(injected)
+    return r.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("pii_total").cast("long").alias("pii_total"),
+        F.md5("text").alias("redacted_md5"),
+    )
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -1041,6 +1074,7 @@ QUERIES = {
     "profile_part_columns": profile_part_columns,
     "diff_orders_snapshots": diff_orders_snapshots,
     "skew_report_events": skew_report_events,
+    "pii_redact_docs": pii_redact_docs,
     "corpus_balance_report": corpus_balance_report,
     "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
@@ -1631,6 +1665,34 @@ SELECT skey, n_rows, median_count,
        round(n_rows / median_count::DOUBLE, 4) AS skew_ratio
 FROM counts, med
 WHERE n_rows / median_count::DOUBLE > 10.0
+"""
+)
+
+_o("pii_redact_docs")(
+    r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id::VARCHAR || '@mail.example.org'
+              || ' from 10.1.' || (doc_id % 256)::VARCHAR || '.7'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       length(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b'))::BIGINT AS n_ip,
+       length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+       (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + length(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b'))
+        + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))::BIGINT AS pii_total,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM inj
 """
 )
 

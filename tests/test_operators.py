@@ -1100,3 +1100,50 @@ class TestProfile:
             for r in profile_table(d, exact=False).collect()
         }
         assert abs(approx["k"] - 2) <= 1
+
+
+class TestRedactPII:
+    def test_redact_and_count(self, spark):
+        from datacapsule_spark.operators.curation import redact_pii
+
+        d = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@sub.example.org now"),
+                (2, "hosts 10.0.0.1 and 192.168.255.254"),
+                (3, "call 555-123-4567 or 555.987.6543"),
+                (4, "clean text, no pii at all"),
+                (5, "x@y.io on 1.2.3.4 tel 111-222-3333"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+        assert out[1]["text"] == "mail <EMAIL> now"
+        assert (out[1]["n_email"], out[1]["pii_total"]) == (1, 1)
+        assert out[2]["text"] == "hosts <IP> and <IP>"
+        assert out[2]["n_ip"] == 2
+        assert out[3]["text"] == "call <PHONE> or <PHONE>"
+        assert out[3]["n_phone"] == 2
+        assert out[4]["text"] == "clean text, no pii at all"
+        assert out[4]["pii_total"] == 0
+        assert out[5]["text"] == "<EMAIL> on <IP> tel <PHONE>"
+        assert out[5]["pii_total"] == 3
+
+    def test_version_string_not_an_ip(self, spark):
+        from datacapsule_spark.operators.curation import redact_pii
+
+        # a 5-part dotted run is not an IPv4; \b keeps 3-part versions safe
+        d = spark.createDataFrame(
+            [(1, "pkg v1.2.3 ok"), (2, "10.0.0.1.5 odd")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in redact_pii(d).collect()}
+        assert out[1] == "pkg v1.2.3 ok"
+        # greedy left-anchored match consumes the first 4 octets (documented)
+        assert out[2] == "<IP>.5 odd"
+
+    def test_zero_exchange_plan(self, spark):
+        from datacapsule_spark.operators.curation import redact_pii
+        from datacapsule_spark.plans.audit import explain_report
+
+        d = spark.range(10).withColumn("text", F.lit("a@b.co"))
+        rep = explain_report(redact_pii(d))
+        assert rep.exchanges == 0
