@@ -1,0 +1,114 @@
+"""Sort-clustered parquet layout — data skipping as a write-time choice.
+
+At 100 TB the cheapest scan is the one that never happens: parquet
+keeps min/max statistics per file and per row group, and both Spark's
+scan and any other reader (DuckDB, Trino) prune against them — but
+only if the writer made the stats selective. A table written in
+arrival order has every file spanning the whole key domain (min/max
+useless); the same table repartitionByRange'd + sortWithinPartitions
+on the filter column has pairwise-disjoint file ranges, so a point or
+range predicate touches O(selectivity) of the files instead of all of
+them.
+
+write_clustered packages that: one range exchange (sampled split
+points, so skew in the cluster key spreads instead of pinning a
+reducer) + an in-partition sort that spills, never a global sort on
+the driver path. Composes with hive partitionBy for the coarse
+(low-cardinality) dimension — partition prune first, row-group skip
+within.
+
+clustering_report reads the written footers (pyarrow, metadata only —
+no data pages) and quantifies the layout: per-file min/max and the
+overlap count between file ranges. It is the test's oracle and the
+ops screen for "did this table keep its clustering after the last
+backfill".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partition_cols: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-clustered on cluster_cols: file k holds keys
+    strictly below file k+1 (ties at sampled split points aside), and
+    rows inside each file are sorted, so row-group stats are tight.
+
+    num_files caps output file count (repartitionByRange argument);
+    default lets Spark use spark.sql.shuffle.partitions. Pass the
+    partition column(s) you'd filter by equality on into
+    partition_cols (directory pruning) and the range/point column
+    into cluster_cols (stat pruning)."""
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    if num_files is not None:
+        out = df.repartitionByRange(num_files, *cluster_cols)
+    else:
+        out = df.repartitionByRange(*cluster_cols)
+    out = out.sortWithinPartitions(*cluster_cols)
+    w = out.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+@dataclass
+class ClusteringReport:
+    n_files: int
+    ranges: list[tuple]  # (path, min, max) per file, sorted by min
+    # adjacent file pairs (sorted by min) whose [min,max] ranges
+    # intersect; 0 here iff ALL pairs are disjoint (any overlapping
+    # pair implies an overlapping adjacent pair under min-order)
+    n_overlaps: int
+
+    @property
+    def disjoint(self) -> bool:
+        return self.n_overlaps == 0
+
+
+def clustering_report(path: str, column: str) -> ClusteringReport:
+    """Footer-only audit of a parquet dataset's clustering on `column`:
+    collects per-file min/max from row-group statistics and counts
+    intersecting file pairs. 0 overlaps == a range predicate touches
+    the minimal file set. Driver-side by design — it reads O(files)
+    footers, not data (at very large file counts, run it over a
+    DataFrame of footer rows instead)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            raise ValueError(f"{column} not in {f}")
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            ranges.append((f, lo, hi))
+    ranges.sort(key=lambda r: (r[1], r[2]))
+    overlaps = 0
+    for i in range(1, len(ranges)):
+        # sorted by min: file i overlaps i-1 iff it starts before i-1 ends
+        if ranges[i][1] < ranges[i - 1][2]:
+            overlaps += 1
+    return ClusteringReport(len(ranges), ranges, overlaps)

@@ -1,0 +1,54 @@
+"""write_clustered / clustering_report — sort-based layout for skipping."""
+
+import pytest
+
+from datacapsule_spark.sources.layout import clustering_report, write_clustered
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestClusteredWrite:
+    def test_range_clustered_files_disjoint(self, spark, tmp_path):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = str(tmp_path / "clustered")
+        write_clustered(ev, out, ["event_id"], num_files=8)
+        rep = clustering_report(out, "event_id")
+        assert rep.n_files == 8
+        assert rep.disjoint, rep.ranges
+        # files tile the key domain: global span equals union of spans
+        assert rep.ranges[0][1] == 0
+
+    def test_hash_layout_overlaps_as_contrast(self, spark, tmp_path):
+        # the same data hash-repartitioned: every file spans ~the whole
+        # domain, min/max stats are useless — the layout this operator fixes
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = str(tmp_path / "hashed")
+        ev.repartition(8, "event_id").write.parquet(out)
+        rep = clustering_report(out, "event_id")
+        assert rep.n_files == 8 and rep.n_overlaps > 0
+
+    def test_composes_with_hive_partitioning(self, spark, tmp_path):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = str(tmp_path / "part")
+        write_clustered(ev, out, ["ts"], partition_cols=["event_type"], num_files=4)
+        rep = clustering_report(out, "ts")
+        assert rep.n_files >= 4
+        # clustering holds within each hive partition directory
+        types = {r[0].split("event_type=")[1].split("/")[0] for r in rep.ranges}
+        assert len(types) > 1
+        for t in types:
+            sub = clustering_report(f"{out}/event_type={t}", "ts")
+            assert sub.disjoint
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = str(tmp_path / "rt")
+        write_clustered(ev, out, ["event_id"], num_files=4)
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        assert set(back.columns) == set(ev.columns)
+
+    def test_requires_cluster_cols(self, spark, tmp_path):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        with pytest.raises(ValueError):
+            write_clustered(ev, str(tmp_path / "x"), [])
