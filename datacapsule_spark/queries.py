@@ -773,6 +773,36 @@ def pii_redact_docs(spark, sf_dir):
     )
 
 
+def merge_preview_orders(spark, sf_dir):
+    """MERGE INTO relational core: a deterministic delta (price bumps
+    on %101 keys, shifted-key inserts from %103 keys) upserted into
+    orders — unmatched target rows + all delta rows, one anti-join."""
+    from .operators.merge import merge_plan
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    updates = (
+        o.where(k % 101 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.where(k % 103 == 0).select(
+        (k + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_plan(o, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -1075,6 +1105,7 @@ QUERIES = {
     "diff_orders_snapshots": diff_orders_snapshots,
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
+    "merge_preview_orders": merge_preview_orders,
     "corpus_balance_report": corpus_balance_report,
     "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
@@ -1693,6 +1724,32 @@ SELECT doc_id,
                '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM inj
+"""
+)
+
+_o("merge_preview_orders")(
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM base WHERE o_orderkey % 101 = 0
+),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice,
+         'N' AS o_orderstatus
+  FROM base WHERE o_orderkey % 103 = 0
+),
+delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       o_orderstatus
+FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+UNION ALL
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       o_orderstatus
+FROM delta
 """
 )
 
