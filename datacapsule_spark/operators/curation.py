@@ -382,6 +382,8 @@ def redact_pii(
     order. Output: input columns with text_col redacted, plus
     n_<name> per pattern and pii_total."""
     pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("redact_pii needs at least one pattern")
     out = docs
     redacted = F.col(text_col)
     counts = []

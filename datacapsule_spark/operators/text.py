@@ -230,7 +230,10 @@ def profile_table(
             F.countDistinct(c) if exact else F.approx_count_distinct(c)
         )
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            # coalesce: sum over an EMPTY table is NULL, not 0
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls"),
             distinct.alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),

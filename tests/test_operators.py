@@ -1147,3 +1147,20 @@ class TestRedactPII:
         d = spark.range(10).withColumn("text", F.lit("a@b.co"))
         rep = explain_report(redact_pii(d))
         assert rep.exchanges == 0
+
+    def test_empty_patterns_rejected(self, spark):
+        from datacapsule_spark.operators.curation import redact_pii
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            redact_pii(d, patterns=[])
+
+
+class TestProfileEdge:
+    def test_empty_table(self, spark):
+        from datacapsule_spark.operators.text import profile_table
+
+        d = spark.createDataFrame([], "k long, s string")
+        out = {r["column_name"]: r for r in profile_table(d).collect()}
+        assert (out["k"]["n_nulls"], out["k"]["n_distinct"]) == (0, 0)
+        assert out["k"]["min_value"] is None and out["k"]["max_value"] is None

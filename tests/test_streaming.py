@@ -190,3 +190,39 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
         for r in with_avg(hourly_rollup(events)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_pii_redaction_equals_batch(spark, tmp_path):
+    """redact_pii is stateless column expressions, so it applies to a
+    stream unchanged — the scrub runs in-flight before anything lands.
+    Append-mode availableNow output must equal the batch scrub."""
+    from datacapsule_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail a@b.co now"),
+        (2, "from 10.0.0.1 tel 555-123-4567"),
+        (3, "clean"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "pii_in")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        redact_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["text"], r["pii_total"])
+        for r in spark.sql("select * from pii_mem").collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["pii_total"])
+        for r in redact_pii(batch).collect()
+    }
+    assert got == want and got[3] == ("clean", 0)
