@@ -398,3 +398,42 @@ def redact_pii(
     for c in counts[1:]:
         total = total + c
     return out.withColumn(text_col, redacted).withColumn("pii_total", total)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 32 bits of
+    md5(salt || key) bucket each row into cumulative-weight ranges —
+    the same hash family as sample_by_hash, so splits are stable
+    across runs, engines, and corpus growth (new rows get a split;
+    existing rows NEVER move, the property that keeps eval sets
+    uncontaminated as the corpus is re-ingested). Pure projection:
+    no shuffle, no rand(), layout-independent."""
+    if splits is None:
+        splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if not splits or any(w < 0 for _, w in splits):
+        raise ValueError("splits must be non-empty with non-negative weights")
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = h < F.lit(int(cum * _HASH_SPACE))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -101,3 +101,24 @@ def merge_into_partitioned(
             fs = p.getFileSystem(hconf)
             fs.delete(p, True)
     return values
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Latest version per key — the SCD/type-1 read over an
+    append-only (versioned) table: row_number over order_cols
+    descending, keep rank 1. One shuffle on the key; the per-key sort
+    is partial (window partition), never global. Pair with
+    merge_into_partitioned (compacted upsert) or vector_store.py
+    (log-structured) depending on write cadence."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -803,6 +803,34 @@ def merge_preview_orders(spark, sf_dir):
     )
 
 
+def split_docs_assign(spark, sf_dir):
+    """Deterministic train/val/test split over documents: md5-bucket
+    cumulative thresholds, stable under corpus growth (no reshuffling
+    of previously assigned rows)."""
+    from .operators.curation import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id", salt="sp"
+    )
+
+
+def latest_events_per_user(spark, sf_dir):
+    """SCD read: each user's latest event by (ts, event_id) — one
+    shuffle on user_id, per-key partial sort."""
+    from .operators.merge import latest_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -1106,6 +1134,8 @@ QUERIES = {
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
     "merge_preview_orders": merge_preview_orders,
+    "split_docs_assign": split_docs_assign,
+    "latest_events_per_user": latest_events_per_user,
     "corpus_balance_report": corpus_balance_report,
     "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
@@ -1750,6 +1780,33 @@ UNION ALL
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
        o_orderstatus
 FROM delta
+"""
+)
+
+_o("split_docs_assign")(
+    """
+SELECT doc_id, source,
+       CASE WHEN h < 3865470566 THEN 'train'
+            WHEN h < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('sp' || doc_id::VARCHAR), 1, 8))::UBIGINT AS h
+  FROM documents
+)
+"""
+)
+
+_o("latest_events_per_user")(
+    """
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
 """
 )
 

@@ -88,3 +88,25 @@ class TestMergeIntoPartitioned:
         delta = spark.createDataFrame([], "k long, v string, p string")
         assert merge_into_partitioned(spark, path, delta, ["k"], "p") == []
         assert _files(path) == before
+
+
+class TestLatestByKey:
+    def test_latest_version_wins(self, spark):
+        from datacapsule_spark.operators.merge import latest_by_key
+
+        df = spark.createDataFrame(
+            [(1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 1, "only")],
+            "k long, ver long, v string",
+        )
+        got = {r["k"]: (r["ver"], r["v"])
+               for r in latest_by_key(df, ["k"], ["ver"]).collect()}
+        assert got == {1: (3, "new"), 2: (1, "only")}
+
+    def test_tiebreak_on_second_order_col(self, spark):
+        from datacapsule_spark.operators.merge import latest_by_key
+
+        df = spark.createDataFrame(
+            [(1, 5, 10, "a"), (1, 5, 20, "b")], "k long, ver long, seq long, v string"
+        )
+        got = latest_by_key(df, ["k"], ["ver", "seq"]).collect()
+        assert len(got) == 1 and got[0]["v"] == "b"

@@ -1164,3 +1164,50 @@ class TestProfileEdge:
         out = {r["column_name"]: r for r in profile_table(d).collect()}
         assert (out["k"]["n_nulls"], out["k"]["n_distinct"]) == (0, 0)
         assert out["k"]["min_value"] is None and out["k"]["max_value"] is None
+
+
+class TestAssignSplits:
+    def test_assignment_stable_under_growth(self, spark):
+        from datacapsule_spark.operators.curation import assign_splits
+
+        small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"]
+             for r in assign_splits(small, "doc_id", salt="s").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in assign_splits(big, "doc_id", salt="s").collect()}
+        assert all(b[k] == v for k, v in a.items())  # no row ever moves
+        from collections import Counter
+        shares = Counter(b.values())
+        assert 0.85 < shares["train"] / 5000 < 0.95
+        assert shares["val"] > 0 and shares["test"] > 0
+
+    def test_consistent_with_sample_by_hash(self, spark):
+        from datacapsule_spark.operators.curation import (
+            assign_splits, sample_by_hash,
+        )
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        train = {
+            r["doc_id"]
+            for r in assign_splits(df, "doc_id", salt="s").collect()
+            if r["split"] == "train"
+        }
+        sampled = {r["doc_id"] for r in sample_by_hash(df, 0.9, "doc_id", "s").collect()}
+        assert train == sampled  # same hash family, same threshold
+
+    def test_weight_validation(self, spark):
+        from datacapsule_spark.operators.curation import assign_splits
+
+        df = spark.range(1).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            assign_splits(df, "doc_id", splits=[("a", 0.5), ("b", 0.4)])
+        with pytest.raises(ValueError):
+            assign_splits(df, "doc_id", splits=[])
+
+    def test_zero_exchange_plan(self, spark):
+        from datacapsule_spark.operators.curation import assign_splits
+        from datacapsule_spark.plans.audit import explain_report
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        assert explain_report(assign_splits(df, "doc_id")).exchanges == 0
