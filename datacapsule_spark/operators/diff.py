@@ -25,16 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(df: DataFrame, key_cols: list[str]) -> DataFrame:
+def _fingerprint(
+    df: DataFrame, key_cols: list[str], value_cols: list[str]
+) -> DataFrame:
     """(keys..., row_hash) — md5 over the non-key columns, cast to
     string and joined on \\x01 with \\x02 as the NULL sentinel, so
     ('a b', 'c') != ('a', 'b c') and (NULL, 'a') != ('a', NULL).
     md5 (not xxhash64) keeps the hash reproducible in the DuckDB
     oracle (concat_ws(chr(1), coalesce(c::VARCHAR, chr(2)), ...));
-    the hash cost is irrelevant next to the shuffle."""
-    value_cols = [c for c in df.columns if c not in key_cols]
-    if not value_cols:
-        raise ValueError("table_diff needs at least one non-key column")
+    the hash cost is irrelevant next to the shuffle. value_cols is
+    passed in (one order for BOTH sides) so snapshots whose columns
+    were merely reordered compare by name, not position."""
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
         for c in value_cols
@@ -55,9 +56,24 @@ def table_diff(
     Plan shape: project-to-hash (column pruning reaches the scan) ->
     one exchange per side on the key -> sort-merge full outer join.
     No broadcast hint: both sides are full snapshots, same order of
-    magnitude by assumption."""
-    o = _fingerprint(old, key_cols).withColumnRenamed("row_hash", "old_hash")
-    n = _fingerprint(new, key_cols).withColumnRenamed("row_hash", "new_hash")
+    magnitude by assumption. Value columns are matched BY NAME (the
+    fingerprint uses one fixed column order for both sides), so a
+    snapshot whose schema was merely reordered diffs clean; a column
+    present on only one side is a schema change and raises."""
+    value_cols = sorted(c for c in old.columns if c not in key_cols)
+    if not value_cols:
+        raise ValueError("table_diff needs at least one non-key column")
+    new_values = sorted(c for c in new.columns if c not in key_cols)
+    if new_values != value_cols:
+        raise ValueError(
+            f"schema mismatch: old has {value_cols}, new has {new_values}"
+        )
+    o = _fingerprint(old, key_cols, value_cols).withColumnRenamed(
+        "row_hash", "old_hash"
+    )
+    n = _fingerprint(new, key_cols, value_cols).withColumnRenamed(
+        "row_hash", "new_hash"
+    )
     joined = o.join(n, on=key_cols, how="full_outer")
     status = (
         F.when(F.col("old_hash").isNull(), F.lit("added"))

@@ -64,3 +64,19 @@ class TestSkewReport:
         rows = [(k, i) for k in "abcdef" for i in range(3)]
         df = spark.createDataFrame(rows, "key string, v long")
         assert skew_report(df, ["key"], threshold=2.0).count() == 0
+
+
+class TestTableDiffSchema:
+    def test_reordered_columns_diff_clean(self, spark):
+        # identical data, columns merely reordered: zero churn
+        old = spark.createDataFrame([(1, "a", 10)], "k long, s string, v long")
+        new = spark.createDataFrame([(1, 10, "a")], "k long, v long, s string")
+        assert table_diff(old, new, ["k"]).count() == 0
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as _pt
+
+        old = spark.createDataFrame([(1, "a")], "k long, s string")
+        new = spark.createDataFrame([(1, 1)], "k long, other long")
+        with _pt.raises(ValueError, match="schema mismatch"):
+            table_diff(old, new, ["k"])
