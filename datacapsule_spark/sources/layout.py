@@ -112,3 +112,52 @@ def clustering_report(path: str, column: str) -> ClusteringReport:
         if ranges[i][1] < ranges[i - 1][2]:
             overlaps += 1
     return ClusteringReport(len(ranges), ranges, overlaps)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite the dataset at `path` into
+    ceil(total_bytes / target_file_bytes) files. Returns the new file
+    count.
+
+    Small files are the classic large-table failure mode — every one
+    costs a task, a footer read, and an open per scan; a 100 TB table
+    ingested in tiny increments degrades O(files), not O(bytes).
+    Sizing reads ONLY file lengths (a listing, no data). With
+    cluster_cols the rewrite goes through repartitionByRange + sort,
+    so compaction REPAIRS clustering (post-ingest drift) rather than
+    destroying it; without, a plain repartition balances bytes.
+
+    The swap is write-aside + delete + rename (same FileSystem), so a
+    crash mid-swap leaves either the old data or a .compact-tmp to
+    clean up — never a partial mix; on object stores use a
+    table-format commit (Iceberg rewrite_data_files) instead."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if cluster_cols:
+        out = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    out.write.mode("overwrite").parquet(str(tmp))
+    fs.delete(p, True)
+    fs.rename(tmp, p)
+    return n_out

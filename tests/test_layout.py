@@ -52,3 +52,40 @@ class TestClusteredWrite:
         ev = spark.read.parquet(f"{SF}/events.parquet")
         with pytest.raises(ValueError):
             write_clustered(ev, str(tmp_path / "x"), [])
+
+
+class TestCompaction:
+    def _pq_files(self, path):
+        import glob
+        return glob.glob(f"{path}/**/*.parquet", recursive=True)
+
+    def test_compacts_to_one_file(self, spark, tmp_path):
+        from datacapsule_spark.sources.layout import compact_dataset
+        import os
+
+        path = str(tmp_path / "many")
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.repartition(32).write.parquet(path)
+        assert len(self._pq_files(path)) == 32
+        n_rows = ev.count()
+        n = compact_dataset(spark, path, target_file_bytes=1 << 40)
+        assert n == 1 and len(self._pq_files(path)) == 1
+        back = spark.read.parquet(path)
+        assert back.count() == n_rows
+        assert not os.path.exists(path + ".compact-tmp")
+
+    def test_compaction_repairs_clustering(self, spark, tmp_path):
+        from datacapsule_spark.sources.layout import compact_dataset
+        import os
+
+        path = str(tmp_path / "drifted")
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.repartition(16, "event_id").write.parquet(path)
+        assert clustering_report(path, "event_id").n_overlaps > 0
+        total = sum(os.path.getsize(f) for f in self._pq_files(path))
+        n = compact_dataset(
+            spark, path, target_file_bytes=total // 4, cluster_cols=["event_id"]
+        )
+        rep = clustering_report(path, "event_id")
+        assert rep.n_files == n >= 2
+        assert rep.disjoint
