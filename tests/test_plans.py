@@ -258,3 +258,27 @@ def test_read_repos_contract(spark, smoke_corpus_path):
     assert set(df.columns) == {"repo", "path", "commit", "lang", "content"}
     with pytest.raises(Exception):
         read_repos(spark, "/root/testdata/sf0.001/events.parquet")
+
+
+def test_latest_per_user_single_window_exchange(spark):
+    """SCD read: exactly the window's key shuffle — no global sort, no
+    second exchange for the rank filter."""
+    r = explain_report(QUERIES["latest_events_per_user"](spark, SF))
+    assert r.exchanges == 1, r.text
+    assert "TakeOrdered" not in r.text  # per-key partial sort, not global
+
+
+def test_table_diff_query_no_cartesian(spark):
+    """Snapshot diff: hash-compare full-outer join on the key — never a
+    nested-loop/cartesian, payload reduced to md5 below the exchanges."""
+    r = explain_report(QUERIES["diff_orders_snapshots"](spark, SF))
+    assert r.cartesian_products == 0 and r.nested_loop_joins == 0, r.text
+    assert r.exchanges <= 2, r.text
+
+
+def test_skew_report_median_broadcast(spark):
+    """The 1-row median joins back broadcast — the per-key count table
+    is never re-shuffled against it."""
+    r = explain_report(QUERIES["skew_report_events"](spark, SF))
+    assert "BroadcastExchange" in r.text, r.text
+    assert r.sort_merge_joins == 0 and r.cartesian_products == 0, r.text
