@@ -105,3 +105,30 @@ def refresh_hourly_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(hours)
+
+
+def hourly_distinct_users(events: DataFrame) -> DataFrame:
+    """(hour, event_type, users_hll) — distinct-user partials as
+    Datasketches HLL (binary, MERGEABLE — the property plain
+    count(DISTINCT) partials lack: two hours' or two batches' sketches
+    union without re-reading rows). The continuous-aggregate shape for
+    the one metric exact rollups can't maintain incrementally."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("users_hll"))
+    )
+
+
+def read_distinct_users(partials: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Serving read over sketch partials: union the sketches at any
+    grouping coarser than they were built at, estimate once. Rolling
+    hour partials up to (event_type,) or () never rescans events."""
+    by = ["hour", "event_type"] if by is None else by
+    agg = F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("n_users")
+    if by:
+        return partials.groupBy(*by).agg(agg)
+    return partials.agg(agg)

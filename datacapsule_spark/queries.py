@@ -831,6 +831,36 @@ def latest_events_per_user(spark, sf_dir):
     )
 
 
+def expectations_orders(spark, sf_dir):
+    """Data-contract screen: four named rules over orders reduced to
+    violation counts in ONE aggregation pass (strict NULL semantics)."""
+    from .operators.expectations import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        o,
+        [
+            ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("price_below_400k", F.col("o_totalprice") < 400000),
+        ],
+    )
+
+
+def events_hourly_distinct_users(spark, sf_dir):
+    """Mergeable distinct-count rollup: per (hour, event_type) distinct
+    users via Datasketches HLL partials, estimated at read. The DuckDB
+    count(DISTINCT) oracle is exact-match valid here because testdata
+    group cardinalities (<=10s) sit in the sketch's sparse-exact
+    regime; at production cardinalities the estimate is +-2% and the
+    check would be tolerance-based."""
+    from .operators.rollup import hourly_distinct_users, read_distinct_users
+
+    ev = _t(spark, sf_dir, "events")
+    return read_distinct_users(hourly_distinct_users(ev))
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -1136,6 +1166,8 @@ QUERIES = {
     "merge_preview_orders": merge_preview_orders,
     "split_docs_assign": split_docs_assign,
     "latest_events_per_user": latest_events_per_user,
+    "expectations_orders": expectations_orders,
+    "events_hourly_distinct_users": events_hourly_distinct_users,
     "corpus_balance_report": corpus_balance_report,
     "pack_docs_sequences": pack_docs_sequences,
     "rebalance_docs_sources": rebalance_docs_sources,
@@ -1807,6 +1839,31 @@ FROM (
   FROM events
 )
 WHERE rn = 1
+"""
+)
+
+_o("expectations_orders")(
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS rule,
+       count(*) FILTER (WHERE NOT coalesce({pred}, false))::BIGINT AS n_violations,
+       count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE NOT coalesce({pred}, false)) = 0 AS passed
+FROM orders"""
+        for name, pred in [
+            ("orderkey_not_null", "o_orderkey IS NOT NULL"),
+            ("price_positive", "o_totalprice > 0"),
+            ("status_in_domain", "o_orderstatus IN ('O','F','P')"),
+            ("price_below_400k", "o_totalprice < 400000"),
+        ]
+    )
+)
+
+_o("events_hourly_distinct_users")(
+    """
+SELECT strftime(ts, '%Y-%m-%d-%H') AS hour, event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY hour, event_type
 """
 )
 
