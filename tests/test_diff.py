@@ -80,3 +80,42 @@ class TestTableDiffSchema:
         new = spark.createDataFrame([(1, 1)], "k long, other long")
         with _pt.raises(ValueError, match="schema mismatch"):
             table_diff(old, new, ["k"])
+
+
+class TestTableDiffRandomized:
+    def test_matches_bruteforce_on_random_snapshots(self, spark):
+        """Seeded random churn: diff output equals the set-computed
+        expectation for every key."""
+        import random
+
+        rng = random.Random(42)
+        old_rows = {k: (rng.randint(0, 5), rng.choice("abc")) for k in range(200)}
+        new_rows = {}
+        for k, v in old_rows.items():
+            r = rng.random()
+            if r < 0.15:
+                continue  # removed
+            if r < 0.35:
+                new_rows[k] = (v[0] + 10, v[1])  # changed
+            else:
+                new_rows[k] = v  # unchanged
+        for k in range(200, 230):
+            new_rows[k] = (rng.randint(0, 5), rng.choice("abc"))  # added
+
+        expect = {}
+        for k in old_rows.keys() | new_rows.keys():
+            if k not in new_rows:
+                expect[k] = "removed"
+            elif k not in old_rows:
+                expect[k] = "added"
+            elif old_rows[k] != new_rows[k]:
+                expect[k] = "changed"
+
+        old = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in old_rows.items()], "k long, a long, b string"
+        )
+        new = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in new_rows.items()], "k long, a long, b string"
+        )
+        got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+        assert got == expect
