@@ -86,8 +86,31 @@ class StageTracker:
             return False
         return True
 
+    def _boundary_files(self, stage: str) -> list[str]:
+        out = os.path.join(self._stage_dir(stage), "data")
+        found = []
+        for root, _dirs, files in os.walk(out):
+            found.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        return found
+
     def load(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "data"))
+        """Read a stage boundary back. A stage whose output was EMPTY
+        (e.g. a fully quality-gated delta) wrote no parquet files —
+        partitioned writes of zero rows emit only _SUCCESS — so the
+        schema recorded in its completion marker reconstructs the empty
+        DataFrame instead of failing UNABLE_TO_INFER_SCHEMA."""
+        if self._boundary_files(stage):
+            return self.spark.read.parquet(
+                os.path.join(self._stage_dir(stage), "data")
+            )
+        from pyspark.sql.types import StructType
+
+        with open(self._marker(stage)) as f:
+            meta = json.load(f)
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        return self.spark.createDataFrame([], schema)
 
     def materialize(
         self,
@@ -110,7 +133,6 @@ class StageTracker:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
-        result = self.spark.read.parquet(out)
         wall_ms = (time.time() - t0) * 1000.0
         # per-partition lineage from the written files themselves: one
         # parquet file = one output partition; row counts come from the
@@ -163,10 +185,13 @@ class StageTracker:
                         "run_id": self.run_id,
                         "params_hash": params_hash(params),
                         "wall_ms": wall_ms,
+                        # lets load() rebuild an EMPTY boundary (zero
+                        # parquet files) without schema inference
+                        "schema": df.schema.json(),
                     }
                 )
             )
-        return result
+        return self.load(stage)
 
     def lineage(self) -> DataFrame:
         """All recorded lineage rows as a DataFrame (metrics table)."""

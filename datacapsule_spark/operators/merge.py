@@ -96,8 +96,18 @@ def merge_into_partitioned(
     if emptied:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for v in emptied:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+            # Spark escapes special chars (space, ':', '%', ...) in
+            # partition directory names — build the path with ITS escaper
+            # or the delete misses the real directory (null partitions
+            # land in __HIVE_DEFAULT_PARTITION__)
+            leaf = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else esc.escapePathName(str(v))
+            )
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={leaf}")
             fs = p.getFileSystem(hconf)
             fs.delete(p, True)
     return values

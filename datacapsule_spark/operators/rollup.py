@@ -61,6 +61,7 @@ def refresh_hourly_rollup(
     rollup_dir: str,
     events_delta: DataFrame,
     batch_id: str | int | None = None,
+    max_hours: int = 5000,
 ) -> list[str]:
     """Fold a delta batch into the on-disk rollup; returns the list of
     affected hour partitions.
@@ -71,9 +72,16 @@ def refresh_hourly_rollup(
     THIS batch id, and rewrite just those partitions through dynamic
     partition overwrite with the delta's rows appended. Re-running the
     same batch id therefore replaces rather than double-counts —
-    idempotent under at-least-once delivery. batch_id=None derives a
-    deterministic id from the delta's aggregated content, so even an
-    accidental ad-hoc replay of the identical delta is a no-op."""
+    idempotent under at-least-once delivery, including a CORRECTED
+    replay whose content covers different hours (the batch's previously
+    written hours are unioned into the affected set, so stale rows in
+    hours the new content no longer touches are purged too). batch_id=
+    None derives a deterministic id from the delta's aggregated content,
+    so an accidental ad-hoc replay of the identical delta is a no-op.
+
+    The affected-hours driver list is hours, not rows, but a year-long
+    backfill delta would still make it (and the rewrite) unbounded —
+    refuse above max_hours and point at the full-rebuild path instead."""
     delta = hourly_rollup(events_delta).localCheckpoint(eager=True)
     hours = [r["hour"] for r in delta.select("hour").distinct().collect()]
     if not hours:
@@ -92,18 +100,43 @@ def refresh_hourly_rollup(
     if os.path.isdir(rollup_dir) and any(
         e.startswith("hour=") for e in os.listdir(rollup_dir)
     ):
+        store = spark.read.parquet(rollup_dir)
+        # a corrected replay may cover FEWER hours than its first
+        # submission; union in the hours this batch wrote before so its
+        # old rows there are purged rather than left to double-count
+        prior = store.where(F.col("_batch") == batch_id).select("hour").distinct()
+        hours = sorted({*hours, *(r["hour"] for r in prior.collect())})
         existing = (
-            spark.read.parquet(rollup_dir)
+            store
             .where(F.col("hour").isin(hours))
             .where(F.col("_batch") != batch_id)  # replay replaces itself
         )
         merged = delta.unionByName(existing.select(*delta.columns))
+    if len(hours) > max_hours:
+        raise ValueError(
+            f"delta touches {len(hours)} hour partitions (> max_hours="
+            f"{max_hours}); this is a backfill, not an increment — rebuild "
+            f"with hourly_rollup(events).write.partitionBy('hour') instead, "
+            f"or raise max_hours explicitly"
+        )
+    merged = merged.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged.write.mode("overwrite").partitionBy("hour").parquet(rollup_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only rewrites partitions with rows in `merged`;
+    # an hour this batch vacated entirely (corrected replay, no other
+    # batch there) must be deleted explicitly or its stale files survive.
+    # hour values are date_format 'yyyy-MM-dd-HH' — no chars Spark escapes.
+    kept = {r["hour"] for r in merged.select("hour").distinct().collect()}
+    import shutil
+
+    for h in set(hours) - kept:
+        d = os.path.join(rollup_dir, f"hour={h}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     return sorted(hours)
 
 

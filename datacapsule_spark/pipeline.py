@@ -328,7 +328,15 @@ def run_incremental(
 
     with open(tracker._marker("10_extract")) as f:
         base_hash = json.load(f).get("params_hash")
-    down = {"base": base_hash, "deltas": deltas, "use_lsh": use_lsh}
+    down = {
+        "base": base_hash,
+        "deltas": deltas,
+        "use_lsh": use_lsh,
+        # must invalidate downstream when the gate moves, even though the
+        # delta boundary names are unchanged (the re-extracted boundary's
+        # CONTENT differs under a different threshold)
+        "min_code_quality": min_code_quality,
+    }
     return _downstream(tracker, combined, use_lsh, down)
 
 

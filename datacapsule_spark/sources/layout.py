@@ -130,18 +130,48 @@ def compact_dataset(
     Sizing reads ONLY file lengths (a listing, no data). With
     cluster_cols the rewrite goes through repartitionByRange + sort,
     so compaction REPAIRS clustering (post-ingest drift) rather than
-    destroying it; without, a plain repartition balances bytes.
+    destroying it; without, a plain repartition balances bytes. A
+    hive-partitioned dataset (dir=value directories) is rewritten WITH
+    its partitioning preserved — rows hash to tasks by partition key so
+    each directory compacts to whole files; combining that with
+    cluster_cols is refused (range-clustering within hive partitions
+    needs a per-partition rewrite — use write_clustered per partition).
 
-    The swap is write-aside + delete + rename (same FileSystem), so a
-    crash mid-swap leaves either the old data or a .compact-tmp to
-    clean up — never a partial mix; on object stores use a
-    table-format commit (Iceberg rewrite_data_files) instead."""
+    The swap is write-aside + rename-old-aside + promote-tmp (same
+    FileSystem): a complete copy of the dataset exists under some name
+    at every instant, so a crash never loses data and the primary path
+    is absent only between two metadata renames (not for the duration
+    of a delete); on object stores use a table-format commit (Iceberg
+    rewrite_data_files) instead."""
     import math
+    import re
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
+    # hive-partition detection: top-level name=value dirs (nested keys
+    # follow by induction on the first chain)
+    part_cols: list[str] = []
+    probe = p
+    while True:
+        sub = [
+            s.getPath().getName()
+            for s in fs.listStatus(probe)
+            if s.isDirectory() and "=" in s.getPath().getName()
+        ]
+        m = re.match(r"([^=]+)=", sub[0]) if sub else None
+        if not m:
+            break
+        part_cols.append(m.group(1))
+        probe = jvm.org.apache.hadoop.fs.Path(probe, sub[0])
+    if part_cols and cluster_cols:
+        raise ValueError(
+            f"dataset at {path} is hive-partitioned by {part_cols}; "
+            "cluster_cols compaction would need a per-partition range "
+            "rewrite — compact without cluster_cols, or rewrite each "
+            "partition with write_clustered"
+        )
     it = fs.listFiles(p, True)
     total = 0
     while it.hasNext():
@@ -154,10 +184,21 @@ def compact_dataset(
         out = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
             *cluster_cols
         )
+    elif part_cols:
+        # hash by partition key: each task holds whole partitions, so
+        # each directory gets ~1 file; partition layout (and pruning)
+        # survives the rewrite
+        out = df.repartition(n_out, *part_cols)
     else:
         out = df.repartition(n_out)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    out.write.mode("overwrite").parquet(str(tmp))
-    fs.delete(p, True)
+    old = jvm.org.apache.hadoop.fs.Path(path + ".compact-old")
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(str(tmp))
+    fs.delete(old, True)  # leftover from a previous crashed swap
+    fs.rename(p, old)
     fs.rename(tmp, p)
+    fs.delete(old, True)
     return n_out

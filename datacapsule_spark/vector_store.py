@@ -94,6 +94,12 @@ def compact(spark: SparkSession, path: str) -> int:
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    # swap via rename-aside: a full copy of the store exists on disk at
+    # every instant (path, path__old, or tmp) — a crash anywhere in the
+    # sequence never loses the live data, unlike rmtree-then-rename
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n

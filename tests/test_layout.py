@@ -74,6 +74,34 @@ class TestCompaction:
         assert back.count() == n_rows
         assert not os.path.exists(path + ".compact-tmp")
 
+    def test_compaction_preserves_hive_partitioning(self, spark, tmp_path):
+        from datacapsule_spark.sources.layout import compact_dataset
+        import os
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "parts")
+        ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "etype", F.col("event_type")
+        )
+        ev.repartition(8).write.partitionBy("etype").parquet(path)
+        n_rows, n_types = ev.count(), ev.select("etype").distinct().count()
+        assert len(self._pq_files(path)) > n_types
+        compact_dataset(spark, path, target_file_bytes=1 << 40)
+        # directory layout survives: still etype=... dirs, pruning intact
+        dirs = [d for d in os.listdir(path) if d.startswith("etype=")]
+        assert len(dirs) == n_types
+        back = spark.read.parquet(path)
+        assert back.count() == n_rows
+        assert "etype" in back.columns
+        one = back.where(F.col("etype") == dirs[0].split("=", 1)[1])
+        # partition filter scans only that directory's file(s)
+        assert one.count() > 0
+        assert not os.path.exists(path + ".compact-old")
+        with pytest.raises(ValueError, match="hive-partitioned"):
+            compact_dataset(spark, path, cluster_cols=["event_id"])
+
     def test_compaction_repairs_clustering(self, spark, tmp_path):
         from datacapsule_spark.sources.layout import compact_dataset
         import os

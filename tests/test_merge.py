@@ -81,6 +81,24 @@ class TestMergeIntoPartitioned:
         assert got.count() == 5
         assert got.where(F.col("k") == 3).collect()[0]["v"] == "upd"
 
+    def test_emptied_partition_with_escaped_value(self, spark, tmp_path):
+        # Spark escapes ' ' and ':' in partition directory names
+        # (p=x%3Ay); the emptied-directory delete must build the path
+        # with the same escaping or the stale files survive and
+        # duplicate rows on the next read.
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "x", "x:y 1"), (2, "x", "keep")], "k long, v string, p string"
+        )
+        df.write.partitionBy("p").parquet(path)
+        delta = spark.createDataFrame(
+            [(1, "moved", "keep")], "k long, v string, p string"
+        )
+        merge_into_partitioned(spark, path, delta, ["k"], "p")
+        back = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+        assert back == {1: ("moved", "keep"), 2: ("x", "keep")}
+        assert not any("x%3Ay" in d for d in os.listdir(path))
+
     def test_empty_delta_touches_nothing(self, spark, tmp_path):
         path = str(tmp_path / "t")
         self._seed(spark, path)

@@ -410,3 +410,42 @@ def test_incremental_updated_file_supersedes(spark, smoke_repos, tmp_path):
         .select("path").distinct().count()
     )
     assert late == 5
+
+
+def test_incremental_quality_gate_change_invalidates_downstream(
+    spark, smoke_repos, tmp_path
+):
+    """Re-submitting an already-ingested delta with a DIFFERENT
+    --min-code-quality must rebuild stages 20-70, not resume the stale
+    boundaries built from the previously-gated triples (the downstream
+    params hash now folds min_code_quality in)."""
+    from pyspark.sql import functions as F
+
+    from datacapsule_spark.pipeline import run_incremental
+
+    small = smoke_repos.where(F.abs(F.xxhash64("repo", "path")) % 10 == 0)
+    work = str(tmp_path / "qg")
+    run_pipeline(spark, small, work, use_lsh=False)
+
+    junk = small.limit(3).select(
+        "repo",
+        F.concat(F.lit("gen/"), "path").alias("path"),
+        "commit", "lang",
+        F.concat(F.lit("# @generated DO NOT EDIT\n"), "content").alias("content"),
+    ).localCheckpoint(eager=True)
+
+    gated = run_incremental(
+        spark, junk, work, use_lsh=False, min_code_quality=0.5
+    )
+    assert (
+        gated["triples"].where(F.col("path").startswith("gen/")).count() == 0
+    )
+    # same delta, gate removed: the autogen files must now flow all the
+    # way through canonicalization into the FINAL triples — a stale
+    # downstream resume would still show zero
+    ungated = run_incremental(
+        spark, junk, work, use_lsh=False, min_code_quality=None
+    )
+    assert (
+        ungated["triples"].where(F.col("path").startswith("gen/")).count() > 0
+    )
