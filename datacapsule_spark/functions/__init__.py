@@ -10,7 +10,7 @@ from ..operators.curation import assign_splits, redact_pii, sample_by_hash  # no
 from ..operators.diff import skew_report, table_diff  # noqa: F401
 from ..operators.merge import latest_by_key, merge_plan  # noqa: F401
 from ..operators.text import profile_table  # noqa: F401
-from ..operators.dedup import shingle_rows, with_shingles  # noqa: F401
+from ..operators.dedup import shingle_rows, simhash_pairs, with_shingles  # noqa: F401
 from ..vectorize import _cosine_expr as cosine_expr  # noqa: F401
 from ..vectorize import hash_embed_text  # noqa: F401
 
@@ -25,6 +25,7 @@ __all__ = [
     "latest_by_key",
     "profile_table",
     "shingle_rows",
+    "simhash_pairs",
     "with_shingles",
     "cosine_expr",
     "hash_embed_text",

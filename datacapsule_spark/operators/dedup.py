@@ -394,6 +394,76 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs from simhash64 fingerprints: (a, b, hamming) for
+    every pair with hamming distance ≤ max_hamming.
+
+    Blocking is bit-block banding — the banded-LSH shape of
+    minhash_band_pairs applied to bit positions: split the n_bits
+    fingerprint into max_hamming+1 contiguous blocks; a pair differing
+    in ≤ max_hamming bits cannot differ in every block (pigeonhole), so
+    an exact match on ANY block is a complete candidate generator. One
+    explode (n_blocks rows/doc), one self-join shuffled on
+    (block, value), then an exact popcount verify:
+    bit_count(a XOR b) ≤ max_hamming — all codegen'd bigint ops, no
+    Python on data, never all-pairs.
+
+    Candidate volume per (block, value) bucket is quadratic in bucket
+    size; byte-identical docs share ALL blocks, so screen with
+    exact_dedup first when the corpus has heavy exact duplication
+    (their pairs are hamming-0 and already found by the cheaper hash).
+    """
+    n_blocks = max_hamming + 1
+    width = n_bits // n_blocks
+    widths = [width + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    fp = fingerprints.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    blocks = fp.select(
+        "_id",
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_fp", starts[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "val"),
+    )
+    cand = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.col("l._fp").alias("fa"),
+            F.col("r._fp").alias("fb"),
+        )
+        .distinct()  # a pair can match in several blocks
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -515,6 +515,28 @@ def dedup_simhash_docs(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def dedup_simhash_pairs_docs(spark, sf_dir):
+    """SimHash near-dup PAIRING (r02 VERDICT item 2): fingerprints →
+    bit-block banding candidates (pigeonhole-complete for hamming ≤ 3)
+    → exact popcount verify. Natural near-dup pairs are rare in the
+    synthetic corpus, so each doc also gets a planted twin
+    (doc_id + 1000000) whose fingerprint flips exactly one
+    doc_id-derived bit — guaranteeing ≥ n_docs true hamming-1 pairs for
+    the oracle to witness at every SF."""
+    from .operators.dedup import simhash64, simhash_pairs
+
+    fp = simhash64(_docs(spark, sf_dir))
+    flip = F.expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(doc_id, 60) as int))"
+    )
+    planted = fp.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(flip).alias("simhash"),
+    )
+    pairs = simhash_pairs(fp.unionByName(planted), max_hamming=3)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _dedup_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs, minhash_signatures
 
@@ -1137,6 +1159,8 @@ QUERIES = {
     "graph_adjacent_names_salted": graph_adjacent_names_salted,
     "graph_triangles_cosupply": graph_triangles_cosupply,
     "graph_pagerank_cosupply": graph_pagerank_cosupply,
+    # --- new in r03 -------------------------------------------------------
+    "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
     # --- previously driver-witnessed (r01/r02 green) ----------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1557,6 +1581,35 @@ WITH toks AS (
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
+"""
+)
+
+_o("dedup_simhash_pairs_docs")(
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) r
+  GROUP BY doc_id, i
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+), allfp AS (
+  SELECT doc_id, simhash FROM fp
+  UNION ALL
+  SELECT doc_id + 1000000, xor(simhash, 1::BIGINT << (doc_id % 60)::INTEGER) FROM fp
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+FROM allfp l JOIN allfp r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 )
 

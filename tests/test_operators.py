@@ -46,6 +46,54 @@ class TestDedup:
                 want.add((doc_id, " ".join(toks[i : i + 3])))
         assert got == want  # doc 6 (<3 tokens) contributes nothing
 
+    def test_simhash_pairs_planted_flips(self, spark):
+        """Bit-block banding finds every planted ≤ max_hamming flip of a
+        base fingerprint with the exact distance; a 4-bit flip (one per
+        block, defeating every band) is excluded by the verify."""
+        from datacapsule_spark.operators.dedup import simhash_pairs
+
+        base = 0b101011001110001111100000111110000011111100000011111110000001
+        rows = [(0, base)]
+        for k in (1, 2, 3, 4):
+            fp = base
+            for j in range(k):
+                fp ^= 1 << (j * 15)  # one flipped bit per 15-bit block
+            rows.append((k, fp))
+        fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_pairs(fps, max_hamming=3).collect()
+        }
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+        assert (0, 4) not in got  # hamming 4 > max
+        assert got[(1, 2)] == 1 and got[(2, 3)] == 1  # chain neighbors
+
+    def test_simhash_pairs_equals_brute_force(self, spark):
+        """Completeness on random fingerprints: banding+verify ==
+        all-pairs popcount (the blocking never loses a true pair)."""
+        import itertools
+        import random
+
+        from datacapsule_spark.operators.dedup import simhash_pairs
+
+        rng = random.Random(7)
+        fps = [rng.getrandbits(60) for _ in range(40)]
+        # force some near pairs: perturb existing fingerprints
+        for i in range(0, 40, 5):
+            fps.append(fps[i] ^ (1 << rng.randrange(60)) ^ (1 << rng.randrange(60)))
+        rows = list(enumerate(fps))
+        want = {
+            (i, j, bin(a ^ b).count("1"))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if bin(a ^ b).count("1") <= 3
+        }
+        df = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs(df, max_hamming=3).collect()
+        }
+        assert got == want and want  # non-trivial and exactly equal
+
     def test_minhash_lsh_finds_near_dups(self, spark, docs):
         from datacapsule_spark.operators.dedup import (
             minhash_lsh_pairs,
@@ -1055,6 +1103,58 @@ class TestRollup:
         out = read_rollup(spark, rdir).collect()
         # one extra copy from the explicit NEW batch id b7, not three
         assert (out[0]["n"], out[0]["sum_value"]) == (3, 10.0)
+
+    def test_corrected_replay_purges_vacated_hours(self, spark, tmp_path):
+        """Re-submitting a batch_id with content covering FEWER hours
+        must purge the batch's old rows in the hours the correction no
+        longer touches — including deleting an hour directory the batch
+        alone populated."""
+        import os
+
+        from datacapsule_spark.operators.rollup import (
+            read_rollup, refresh_hourly_rollup,
+        )
+
+        schema = "ts string, event_type string, value double"
+        rdir = str(tmp_path / "r3")
+        other = spark.createDataFrame(
+            [("2024-01-01 10:00:00", "view", 1.0)], schema
+        )
+        refresh_hourly_rollup(spark, rdir, other, batch_id="base")
+        # batch b1 v1: hours 10 and 11 (11 populated ONLY by b1)
+        v1 = spark.createDataFrame(
+            [("2024-01-01 10:30:00", "click", 2.0),
+             ("2024-01-01 11:30:00", "click", 8.0)], schema
+        )
+        refresh_hourly_rollup(spark, rdir, v1, batch_id="b1")
+        # corrected b1: hour 10 only, different value
+        v2 = spark.createDataFrame(
+            [("2024-01-01 10:30:00", "click", 5.0)], schema
+        )
+        refresh_hourly_rollup(spark, rdir, v2, batch_id="b1")
+        got = {
+            (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in read_rollup(spark, rdir).collect()
+        }
+        assert got == {
+            ("2024-01-01-10", "view"): (1, 1.0),
+            ("2024-01-01-10", "click"): (1, 5.0),
+        }  # no 11-hour remnant, no double-count
+        assert not os.path.isdir(os.path.join(rdir, "hour=2024-01-01-11"))
+
+    def test_backfill_delta_refused_above_max_hours(self, spark, tmp_path):
+        import pytest
+
+        from datacapsule_spark.operators.rollup import refresh_hourly_rollup
+
+        wide = spark.createDataFrame(
+            [(f"2024-01-01 {h:02d}:00:00", "click", 1.0) for h in range(5)],
+            "ts string, event_type string, value double",
+        )
+        with pytest.raises(ValueError, match="backfill"):
+            refresh_hourly_rollup(
+                spark, str(tmp_path / "r4"), wide, max_hours=3
+            )
 
     def test_containment_token_boundary_semantics(self, spark):
         """Token-boundary containment: a char-level substring landing
