@@ -289,6 +289,8 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 5,
+    max_block_df: int | None = None,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Token-sequence containment dedup: (inner_id, outer_id) pairs
     where inner's token sequence (lowercased, whitespace-normalized)
@@ -305,13 +307,25 @@ def containment_pairs(
     every shingle of inner is a shingle of outer — including the
     rarest — so no true pair is missed, and the output is exactly the
     token-containment relation over docs with >= shingle_n tokens.
-    Candidate volume is sum over docs of df(rarest shingle):
-    near-unique shingles prune almost everything, and no frequent key
-    ever fans out. Verify: exact JVM-side contains() over
-    space-delimited normalized token strings (padded with boundary
-    spaces), fetched by id-keyed joins. Ties (equal token sequence)
-    emit only inner_id < outer_id; docs shorter than shingle_n tokens
-    never block (screen those with exact_dedup first)."""
+    Candidate volume is sum over docs of df(rarest shingle) —
+    near-unique shingles prune almost everything, but a TEMPLATE-HEAVY
+    corpus (k docs whose every shingle is shared by ~k docs) has no
+    rare shingle to block on: candidates degrade toward k² within the
+    template's grams, and no complete content-based blocking can do
+    better (the docs genuinely share all their keys). max_block_df is
+    the guard rail: docs whose rarest shingle's df exceeds it either
+    abort the job with routing guidance (on_overflow='error' — run
+    curation.boilerplate_strip / exact_dedup first, which removes the
+    shared grams) or are excluded as INNER candidates
+    (on_overflow='skip' — pairs whose inner is an over-the-ceiling doc
+    are then not emitted; all other pairs remain complete). Verify:
+    exact JVM-side contains() over space-delimited normalized token
+    strings (padded with boundary spaces), fetched by id-keyed joins.
+    Ties (equal token sequence) emit only inner_id < outer_id; docs
+    shorter than shingle_n tokens never block (screen those with
+    exact_dedup first)."""
+    if on_overflow not in ("error", "skip"):
+        raise ValueError("on_overflow must be 'error' or 'skip'")
     sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
     )  # consumed by the df agg, the argmin, and the probe side
@@ -319,8 +333,24 @@ def containment_pairs(
     rarest = (
         sh.join(gdf, "g")
         .groupBy("doc_id")
-        .agg(F.min_by("g", F.struct("gdf", "g")).alias("g"))
+        .agg(F.min(F.struct("gdf", "g")).alias("_m"))  # lexicographic argmin
+        .select("doc_id", F.col("_m.g").alias("g"), F.col("_m.gdf").alias("gdf"))
     )
+    if max_block_df is not None:
+        if on_overflow == "error":
+            n_over = rarest.where(F.col("gdf") > max_block_df).count()
+            if n_over:
+                raise ValueError(
+                    f"{n_over} docs have no blocking shingle with df <= "
+                    f"{max_block_df} (template-heavy corpus): their candidate "
+                    f"fanout would approach all-pairs within the shared grams. "
+                    f"Strip the template first (curation.boilerplate_strip), "
+                    f"screen identical docs (exact_dedup), or pass "
+                    f"on_overflow='skip' to exclude them as inner candidates."
+                )
+        else:
+            rarest = rarest.where(F.col("gdf") <= max_block_df)
+    rarest = rarest.drop("gdf")
     cand = (
         rarest.alias("l")
         .join(

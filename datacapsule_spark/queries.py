@@ -946,6 +946,37 @@ def vector_knn_batch(spark, sf_dir):
     )
 
 
+def vector_ann_ivf_batch(spark, sf_dir):
+    """The ANN scale path for J6, driver-gated (r02 VERDICT item 5):
+    IVF index (distributed KMeans lists) + per-query probe. n_probe =
+    n_lists here (FULL probe), which makes the output exactly the
+    brute-force top-k independent of the learned centroids — so a
+    DuckDB oracle verifies the whole index→probe→rank path end-to-end.
+    The recall/cost dial (n_probe < n_lists) and the list-partition
+    pruning plan are gated in tests/test_sessionize_ivf.py."""
+    from .vectorize import ivf_index, ivf_topk
+
+    e = _emb_double(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "label", "embedding"
+    )
+    corpus = e.where(F.col("id") >= 3)
+    indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    indexed = indexed.localCheckpoint(eager=True)  # probed once per query
+    qrows = sorted(
+        e.where(F.col("id") < 3).select("id", "embedding").collect(),
+        key=lambda r: r["id"],
+    )
+    out = None
+    for r in qrows:
+        top = ivf_topk(indexed, centroids, r["embedding"], k=5, n_probe=8).select(
+            F.lit(int(r["id"])).alias("query_id"),
+            F.col("id").alias("vec_id"),
+            F.round("sim", 6).alias("sim"),
+        )
+        out = top if out is None else out.unionByName(top)
+    return out
+
+
 def vector_label_centroid_sim(spark, sf_dir):
     """Aggregate over vectors: per-label mean vector then its cosine to
     the global mean — exercises element-wise array aggregation."""
@@ -1161,6 +1192,7 @@ QUERIES = {
     "graph_pagerank_cosupply": graph_pagerank_cosupply,
     # --- new in r03 -------------------------------------------------------
     "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
+    "vector_ann_ivf_batch": vector_ann_ivf_batch,
     # --- previously driver-witnessed (r01/r02 green) ----------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2150,6 +2182,22 @@ WITH q AS (
   FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
 )
 SELECT query_id, rn, vec_id, sim FROM scored WHERE rn <= 5
+"""
+)
+
+_o("vector_ann_ivf_batch")(
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3
+)
+SELECT query_id, vec_id, round(s, 6) AS sim FROM scored WHERE rn <= 5
 """
 )
 

@@ -89,19 +89,36 @@ def hash_embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     return (v / n if n else v).astype(np.float32)
 
 
-def embed_descriptors(desc: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+def embed_descriptors(
+    desc: DataFrame, dim: int = EMBED_DIM, embed_fn=None
+) -> DataFrame:
     """descriptors(id, kind, entity_type, name, text) → EMBEDDINGS rows.
 
     mapInPandas: one Arrow batch in, one out — the batched remote-API
-    call shape (react_tools.py:72-78) without the network.
-    """
+    call shape (react_tools.py:72-78) without the network. embed_fn
+    (list[str] -> list[list[float]], length dim each) is the pluggable
+    kernel: a cluster user drops in the real embedding-API client here
+    without forking engine code; it must be picklable (top-level
+    function or functools.partial) since it ships to executors. Default
+    is the deterministic hash embedding, which keeps every downstream
+    test and oracle reproducible offline."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["embedding"] = [
-                hash_embed_text(t, dim).tolist() for t in pdf["text"]
-            ]
+            if embed_fn is not None:
+                vecs = embed_fn(list(pdf["text"]))
+                bad = [i for i, v in enumerate(vecs) if len(v) != dim]
+                if bad:
+                    raise ValueError(
+                        f"embed_fn returned dim {len(vecs[bad[0]])} != {dim} "
+                        f"for batch row {bad[0]}"
+                    )
+                pdf["embedding"] = [list(map(float, v)) for v in vecs]
+            else:
+                pdf["embedding"] = [
+                    hash_embed_text(t, dim).tolist() for t in pdf["text"]
+                ]
             yield pdf[["id", "kind", "entity_type", "name", "embedding"]]
 
     from .schema import EMBEDDINGS

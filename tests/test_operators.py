@@ -390,6 +390,45 @@ class TestVector:
         want = hash_embed_text(text).tolist()
         assert out[0]["embedding"] == pytest.approx(want)
 
+    def test_embed_descriptors_pluggable_kernel(self, spark):
+        """embed_fn seam (r02 VERDICT item 8): a fake remote client —
+        batched list[str] -> list[vec] — replaces the hash kernel with
+        no change to the mapInPandas batch shape; a wrong-dim kernel
+        fails loudly instead of writing corrupt vectors."""
+        from datacapsule_spark.vectorize import (
+            EMBED_DIM,
+            embed_descriptors,
+            node_descriptors,
+        )
+
+        # nested so cloudpickle ships them by VALUE (the test module is
+        # not importable on executors)
+        def fake_remote_embed(texts, dim=EMBED_DIM):
+            return [[float(len(t)), 0.25] + [0.0] * (dim - 2) for t in texts]
+
+        def bad_dim_embed(texts):
+            return [[1.0, 2.0, 3.0] for _ in texts]
+
+        nodes = spark.createDataFrame(
+            [("sym:A", "symbol", "A", {}), ("sym:B", "symbol", "B", {})],
+            "node_id string, node_type string, name string, attrs map<string,string>",
+        )
+        out = embed_descriptors(
+            node_descriptors(nodes), embed_fn=fake_remote_embed
+        ).collect()
+        got = {r["id"]: r["embedding"] for r in out}
+        assert len(got) == 2
+        for rid, vec in got.items():
+            assert len(vec) == EMBED_DIM
+            # fake kernel encodes len(text) in slot 0 — proves the
+            # custom kernel (not the hash default) produced the vector
+            assert vec[0] > 1.0 and vec[1] == pytest.approx(0.25)
+
+        with pytest.raises(Exception, match="dim"):
+            embed_descriptors(
+                node_descriptors(nodes), embed_fn=bad_dim_embed
+            ).collect()
+
 
 class TestMultimodal:
     def test_media_feature_plumbing(self, spark):
@@ -710,6 +749,39 @@ class TestCuration:
         assert (1, 3) in got and (3, 1) not in got
         assert not any(4 in p for p in got)
         assert (2, 1) not in got  # containment is directional
+
+    def test_containment_block_df_ceiling(self, spark):
+        """Template-heavy corpus guard (r02 VERDICT item 3): k docs
+        whose EVERY shingle is shared by all k have no rare blocking
+        key — candidates would approach k². With max_block_df the job
+        either aborts with routing guidance or skips those docs as
+        inner candidates while normal docs keep their complete pairs."""
+        from datacapsule_spark.operators.dedup import containment_pairs
+
+        template = "the quick brown fox jumps over the lazy dog again "
+        rows = [(i, template * 4) for i in range(20)]  # byte-identical ×20
+        rows += [
+            (100, "genuinely unique inner sequence alpha beta gamma"),
+            (101, "wrapper genuinely unique inner sequence alpha beta gamma wrapper"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+
+        with pytest.raises(ValueError, match="template-heavy"):
+            containment_pairs(d, shingle_n=5, max_block_df=10).collect()
+
+        got = {
+            (r["inner_id"], r["outer_id"])
+            for r in containment_pairs(
+                d, shingle_n=5, max_block_df=10, on_overflow="skip"
+            ).collect()
+        }
+        # the normal docs' pair survives; no template doc appears as inner
+        assert (100, 101) in got
+        assert not any(a < 100 for a, _ in got)
+        # ceiling off: complete relation includes the k*(k-1)/2 template
+        # ties (inner_id < outer_id on equal texts)
+        full = containment_pairs(d, shingle_n=5)
+        assert full.where(F.col("inner_id") < 100).count() == 20 * 19 // 2
 
     def test_token_stats(self, spark):
         from datacapsule_spark.operators.text import token_stats
