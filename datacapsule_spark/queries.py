@@ -1141,6 +1141,29 @@ def graph_pagerank_cosupply(spark, sf_dir):
     )
 
 
+def graph_motif_open_wedges(spark, sf_dir):
+    """Declarative motif finding (operators/motif.py, GraphFrames-style
+    `find` subset): open wedges a→b→c with NO closing a→c edge over the
+    bounded co-supply graph — the negated-edge pattern a fixed traversal
+    API cannot express. Top-10 'broker' middle vertices by open-wedge
+    count; the motif itself is two pruned equi-joins + one anti-join,
+    never a cartesian."""
+    from .operators.motif import find_motif
+
+    edges = _cosupply_pairs(spark, sf_dir, "src", "dst").withColumn(
+        "relation", F.lit("cosupply")
+    )
+    m = find_motif(edges, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").where(
+        F.col("a") != F.col("c")
+    )
+    return (
+        m.groupBy("b")
+        .agg(F.count("*").alias("n_open"))
+        .orderBy(F.desc("n_open"), F.asc("b"))
+        .limit(10)
+    )
+
+
 def graph_adjacent_names_salted(spark, sf_dir):
     """A6 twin under hot-key protection: per-nation neighbor name sets
     via two-stage salted collect_set (operators/skew.py) — result equal
@@ -1193,6 +1216,7 @@ QUERIES = {
     # --- new in r03 -------------------------------------------------------
     "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
     "vector_ann_ivf_batch": vector_ann_ivf_batch,
+    "graph_motif_open_wedges": graph_motif_open_wedges,
     # --- previously driver-witnessed (r01/r02 green) ----------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2266,6 +2290,25 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e1.b = e2.a
 JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+_o("graph_motif_open_wedges")(
+    """
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+)
+SELECT w1.dst AS b, count(*)::BIGINT AS n_open
+FROM e w1 JOIN e w2 ON w2.src = w1.dst AND w1.src <> w2.dst
+WHERE NOT EXISTS (
+  SELECT 1 FROM e n WHERE n.src = w1.src AND n.dst = w2.dst
+)
+GROUP BY w1.dst
+ORDER BY n_open DESC, b ASC
+LIMIT 10
 """
 )
 

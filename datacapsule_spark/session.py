@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # ad-hoc conf overrides for A/B measurement without code edits:
+    # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd,k=v"
+    # (subprocess-based harnesses like bench/scaling.py inherit it)
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(",")):
+        k, _, v = pair.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -1104,6 +1104,103 @@ class TestGraphStats:
             minhash_signatures(docs, hash_fn="sha9")
 
 
+class TestMotif:
+    @pytest.fixture()
+    def g(self, spark):
+        # a -> b -> c, a -> c (closed wedge), c -> d (open tail),
+        # x -> y isolated
+        return spark.createDataFrame(
+            [
+                ("a", "knows", "b"),
+                ("b", "knows", "c"),
+                ("a", "likes", "c"),
+                ("c", "knows", "d"),
+                ("x", "knows", "y"),
+            ],
+            "src string, relation string, dst string",
+        )
+
+    def test_path_motif_with_named_edges(self, spark, g):
+        from datacapsule_spark.operators.motif import find_motif
+
+        got = {
+            (r["u"], r["v"], r["w"], r["e1"], r["e2"])
+            for r in find_motif(g, "(u)-[e1]->(v); (v)-[e2]->(w)").collect()
+        }
+        assert got == {
+            ("a", "b", "c", "knows", "knows"),
+            ("b", "c", "d", "knows", "knows"),
+            ("a", "c", "d", "likes", "knows"),
+        }
+
+    def test_negation_open_wedges(self, spark, g):
+        from datacapsule_spark.operators.motif import find_motif
+
+        got = {
+            (r["u"], r["v"], r["w"])
+            for r in find_motif(
+                g, "(u)-[]->(v); (v)-[]->(w); !(u)-[]->(w)"
+            ).collect()
+        }
+        # a->b->c is CLOSED by a->c; the two wedges ending at d stay open
+        assert got == {("b", "c", "d"), ("a", "c", "d")}
+
+    def test_vertex_unification_and_anonymous(self, spark, g):
+        from datacapsule_spark.operators.motif import find_motif
+
+        # anonymous middle vertex: fresh variable, still a real join?
+        # no — `()` never unifies, so this is out-edges × in-edges of
+        # ANY pair (disconnected). Use a named middle to unify:
+        fan_in = find_motif(g, "(u)-[]->(m); (v)-[]->(m)").where(
+            F.col("u") < F.col("v")
+        )
+        got = {(r["u"], r["v"], r["m"]) for r in fan_in.collect()}
+        assert got == {("a", "b", "c")}  # both a and b point at c
+
+    def test_motif_matches_triangle_count(self, spark):
+        """Cross-operator consistency on a random graph: directed
+        triangle motif instances == 3! orientations-free triangle count
+        from operators/graph_stats (each undirected triangle of the
+        a<b DAG appears exactly once as a-b-c with a<b<c)."""
+        import random
+
+        from datacapsule_spark.operators.graph_stats import triangle_count
+        from datacapsule_spark.operators.motif import find_motif
+
+        rng = random.Random(11)
+        edges = {
+            (a, b)
+            for a in range(20)
+            for b in range(a + 1, 20)
+            if rng.random() < 0.3
+        }
+        df = spark.createDataFrame(
+            [(f"n{a}", "e", f"n{b}") for a, b in edges],
+            "src string, relation string, dst string",
+        )
+        tri_motif = find_motif(
+            df, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
+        ).count()
+        tri = triangle_count(
+            df.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        ).collect()[0]["n_triangles"]
+        assert tri_motif == tri > 0
+
+    def test_pattern_validation(self, spark, g):
+        from datacapsule_spark.operators.motif import find_motif
+
+        with pytest.raises(ValueError, match="bad motif term"):
+            find_motif(g, "(a)->(b)")
+        with pytest.raises(ValueError, match="positive"):
+            find_motif(g, "!(a)-[]->(b)")
+        with pytest.raises(ValueError, match="bound"):
+            find_motif(g, "(a)-[]->(b); !(a)-[]->(z)")
+        with pytest.raises(ValueError, match="duplicate"):
+            find_motif(g, "(a)-[a]->(b)")
+        with pytest.raises(ValueError, match="edge name"):
+            find_motif(g, "(a)-[e]->(b); !(b)-[f]->(a)")
+
+
 class TestRollup:
     def test_incremental_rollup_equals_full(self, spark, tmp_path):
         """Two delta refreshes == one full rollup, and the second

@@ -5,6 +5,7 @@ regressed plan fails HERE, not in production."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datacapsule_spark.plans.audit import assert_plan, explain_report
 from datacapsule_spark.queries import QUERIES
@@ -137,6 +138,30 @@ def test_minhash_signature_single_shuffle(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     r = explain_report(minhash_signatures(d))
     assert r.exchanges == 1, r.text
+
+
+def test_simhash_pairs_banded_join_no_cartesian(spark):
+    """The hamming-pairing candidate generator must be a keyed
+    (block, value) equi-join — never a cartesian/nested-loop all-pairs
+    — and the popcount verify stays codegen'd (no Python on data)."""
+    from datacapsule_spark.operators.dedup import simhash_pairs
+
+    fps = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 60) - 1)).alias("simhash"),
+    )
+    r = explain_report(simhash_pairs(fps, max_hamming=3))
+    assert r.cartesian_products == 0, r.text
+    assert r.nested_loop_joins == 0, r.text
+    assert r.sort_merge_joins + r.broadcast_joins >= 1, r.text
+
+
+def test_motif_connected_pattern_no_cartesian(spark):
+    """A connected motif must compile to keyed equi-joins + anti-join —
+    no CartesianProduct / nested loop anywhere in the chain."""
+    r = explain_report(QUERIES["graph_motif_open_wedges"](spark, SF))
+    assert r.cartesian_products == 0, r.text
+    assert r.nested_loop_joins == 0, r.text
 
 
 def test_boilerplate_strip_broadcasts_boiler_set(spark):
