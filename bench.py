@@ -38,6 +38,10 @@ HEADLINE = [
     "vector_knn_batch",
     "kg_triples_documents",
     "graph_bfs_customers_in_region",
+    # new in r04: the iterative PageRank loop and the HLL day-grain
+    # re-aggregation get recorded perf numbers alongside their oracles
+    "graph_pagerank_cosupply",
+    "events_daily_distinct_users",
 ]
 
 

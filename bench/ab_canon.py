@@ -49,6 +49,13 @@ def main() -> None:
                 ],
                 capture_output=True, text=True, cwd=REPO, env=env,
             )
+            if proc.returncode != 0 or not proc.stdout.strip():
+                print(
+                    f"scaling.py failed (variant={name}, rc={proc.returncode}):\n"
+                    f"{proc.stderr}",
+                    file=sys.stderr,
+                )
+                sys.exit(1)
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             r["variant"] = name
             print(json.dumps(r), flush=True)

@@ -109,7 +109,15 @@ class StageTracker:
 
         with open(self._marker(stage)) as f:
             meta = json.load(f)
-        schema = StructType.fromJson(json.loads(meta["schema"]))
+        schema_json = meta.get("schema")
+        if schema_json is None:
+            raise RuntimeError(
+                f"stage '{stage}' boundary is empty and its completion "
+                "marker predates schema recording (written by an older "
+                "engine version); invalidate the stage or re-run with a "
+                "fresh run_id/work_dir to rebuild it"
+            )
+        schema = StructType.fromJson(json.loads(schema_json))
         return self.spark.createDataFrame([], schema)
 
     def materialize(

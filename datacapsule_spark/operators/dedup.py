@@ -291,6 +291,7 @@ def containment_pairs(
     shingle_n: int = 5,
     max_block_df: int | None = None,
     on_overflow: str = "error",
+    report_skipped: bool = False,
 ) -> DataFrame:
     """Token-sequence containment dedup: (inner_id, outer_id) pairs
     where inner's token sequence (lowercased, whitespace-normalized)
@@ -323,9 +324,16 @@ def containment_pairs(
     strings (padded with boundary spaces), fetched by id-keyed joins.
     Ties (equal token sequence) emit only inner_id < outer_id; docs
     shorter than shingle_n tokens never block (screen those with
-    exact_dedup first)."""
+    exact_dedup first).
+
+    report_skipped=True returns (pairs, skipped) where skipped is the
+    DataFrame of inner-candidate doc_ids excluded by the
+    on_overflow='skip' ceiling (empty when nothing was skipped, or
+    when max_block_df is None) — so production runs can observe the
+    incompleteness instead of silently losing pairs."""
     if on_overflow not in ("error", "skip"):
         raise ValueError("on_overflow must be 'error' or 'skip'")
+    skipped = docs.select(F.col(id_col)).limit(0)
     sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
     )  # consumed by the df agg, the argmin, and the probe side
@@ -349,6 +357,9 @@ def containment_pairs(
                     f"on_overflow='skip' to exclude them as inner candidates."
                 )
         else:
+            skipped = rarest.where(F.col("gdf") > max_block_df).select(
+                F.col("doc_id").alias(id_col)
+            )
             rarest = rarest.where(F.col("gdf") <= max_block_df)
     rarest = rarest.drop("gdf")
     cand = (
@@ -376,7 +387,7 @@ def containment_pairs(
     txt = docs.select(F.col(id_col).alias("_id"), norm.alias("_lt"))
     a = txt.select(F.col("_id").alias("inner_id"), F.col("_lt").alias("_ta"))
     b = txt.select(F.col("_id").alias("outer_id"), F.col("_lt").alias("_tb"))
-    return (
+    pairs = (
         cand.join(a, "inner_id")
         .join(b, "outer_id")
         .where(
@@ -388,6 +399,7 @@ def containment_pairs(
         )
         .select("inner_id", "outer_id")
     )
+    return (pairs, skipped) if report_skipped else pairs
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -10,8 +10,15 @@ Pattern grammar (a practical subset of GraphFrames' `find`):
   vertex name that repeats across terms unifies them (equi-join on the
   node id); `[]` is an anonymous edge (matched, not output); `()` is an
   anonymous vertex (fresh each time, never joined)
+- an edge may carry a relation predicate `[e:contains]` / `[:contains]`
+  — the term matches only edges whose relation column equals the value
+  (filter pushed into the term's scan, BEFORE the join — the typed
+  traversals of the reference, e.g. its 包含-only chains
+  react_tools.py:121-129, are one such term each). The value runs to
+  the closing bracket, so multi-byte relation names work
 - a negated term `!(x)-[]->(y)` requires the ABSENCE of any x→y edge
-  (left_anti join); it must reference already-bound vertices and cannot
+  (left_anti join); `!(x)-[:rel]->(y)` the absence of an x→y edge with
+  that relation; it must reference already-bound vertices and cannot
   name an edge
 - result: one column per named vertex (the node id) and one per named
   edge (the relation), one row per distinct binding — like GraphFrames,
@@ -38,7 +45,9 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TERM = re.compile(r"^\s*(!?)\s*\((\w*)\)\s*-\s*\[(\w*)\]\s*->\s*\((\w*)\)\s*$")
+_TERM = re.compile(
+    r"^\s*(!?)\s*\((\w*)\)\s*-\s*\[(\w*)(?::([^\]]+))?\]\s*->\s*\((\w*)\)\s*$"
+)
 
 
 def find_motif(
@@ -60,10 +69,10 @@ def find_motif(
             raise ValueError(
                 f"bad motif term {t!r} — expected '(a)-[e]->(b)' or '!(a)-[]->(b)'"
             )
-        neg, a, e, b = m.groups()
+        neg, a, e, pred, b = m.groups()
         if neg and e:
             raise ValueError(f"negated term {t!r} cannot bind an edge name")
-        parsed.append((bool(neg), a, e, b))
+        parsed.append((bool(neg), a, e, pred.strip() if pred else None, b))
 
     pos = [p for p in parsed if not p[0]]
     negs = [p for p in parsed if p[0]]
@@ -73,7 +82,7 @@ def find_motif(
     vert_col: dict[str, str] = {}
     edge_col: dict[str, str] = {}
     result = None
-    for i, (_, a, e, b) in enumerate(pos):
+    for i, (_, a, e, pred, b) in enumerate(pos):
         if e:
             if e in edge_col or e in vert_col:
                 raise ValueError(f"duplicate name {e!r} in pattern")
@@ -84,7 +93,13 @@ def find_motif(
         ]
         if e:
             cols.append(F.col(relation).alias(f"__rel{i}"))
-        term_df = edges.select(*cols)  # pruned projection per term
+        term_src = edges
+        if pred is not None:
+            # relation predicate: filtered at the term's scan, so the
+            # join sees only the typed slice (predicate pushdown keeps
+            # this pre-shuffle)
+            term_src = term_src.where(F.col(relation) == pred)
+        term_df = term_src.select(*cols)  # pruned projection per term
         if result is None:
             result = term_df
         else:
@@ -107,13 +122,16 @@ def find_motif(
                 raise ValueError(f"duplicate name {b!r} in pattern")
             vert_col[b] = f"__dst{i}"
 
-    for j, (_, a, _e, b) in enumerate(negs):
+    for j, (_, a, _e, pred, b) in enumerate(negs):
         if a not in vert_col or b not in vert_col:
             raise ValueError(
                 f"negated term !({a})-[]->({b}) must use vertices bound by "
                 f"a positive term"
             )
-        ne = edges.select(
+        neg_src = edges
+        if pred is not None:
+            neg_src = neg_src.where(F.col(relation) == pred)
+        ne = neg_src.select(
             F.col(src).alias(f"__na{j}"), F.col(dst).alias(f"__nb{j}")
         )
         result = result.join(

@@ -883,6 +883,22 @@ def events_hourly_distinct_users(spark, sf_dir):
     return read_distinct_users(hourly_distinct_users(ev))
 
 
+def events_daily_distinct_users(spark, sf_dir):
+    """Day-grain re-aggregation of the HOURLY HLL partials (r03 VERDICT
+    item 8): the sketches built at (hour, event_type) grain are
+    hll_union_agg'd up to day — a user active in many hours/types
+    counts once — WITHOUT rescanning events. This is the mergeability
+    property that makes the rollup a continuous aggregate; exact-match
+    vs DuckDB count(DISTINCT) is valid at testdata cardinalities
+    (sparse-exact sketch regime, see events_hourly_distinct_users)."""
+    from .operators.rollup import hourly_distinct_users, read_distinct_users
+
+    partials = hourly_distinct_users(_t(spark, sf_dir, "events")).withColumn(
+        "day", F.substring("hour", 1, 10)
+    )
+    return read_distinct_users(partials, by=["day"])
+
+
 def corpus_token_stats(spark, sf_dir):
     """Vocabulary table: tf / df / smoothed idf per token (df >= 3)."""
     from .operators.text import token_stats
@@ -953,28 +969,24 @@ def vector_ann_ivf_batch(spark, sf_dir):
     brute-force top-k independent of the learned centroids — so a
     DuckDB oracle verifies the whole index→probe→rank path end-to-end.
     The recall/cost dial (n_probe < n_lists) and the list-partition
-    pruning plan are gated in tests/test_sessionize_ivf.py."""
-    from .vectorize import ivf_index, ivf_topk
+    pruning plan are gated in tests/test_sessionize_ivf.py. All Q
+    queries probe in ONE job via ivf_topk_batch (r03 VERDICT item 4;
+    the old shape was a per-query driver loop — Q scheduler
+    round-trips at large Q)."""
+    from .vectorize import ivf_index, ivf_topk_batch
 
     e = _emb_double(spark, sf_dir).select(
         F.col("vec_id").alias("id"), "label", "embedding"
     )
     corpus = e.where(F.col("id") >= 3)
     indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
-    indexed = indexed.localCheckpoint(eager=True)  # probed once per query
-    qrows = sorted(
-        e.where(F.col("id") < 3).select("id", "embedding").collect(),
-        key=lambda r: r["id"],
+    queries = e.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    out = None
-    for r in qrows:
-        top = ivf_topk(indexed, centroids, r["embedding"], k=5, n_probe=8).select(
-            F.lit(int(r["id"])).alias("query_id"),
-            F.col("id").alias("vec_id"),
-            F.round("sim", 6).alias("sim"),
-        )
-        out = top if out is None else out.unionByName(top)
-    return out
+    top = ivf_topk_batch(indexed, centroids, queries, k=5, n_probe=8)
+    return top.select(
+        "query_id", F.col("id").alias("vec_id"), F.round("sim", 6).alias("sim")
+    )
 
 
 def vector_label_centroid_sim(spark, sf_dir):
@@ -1126,9 +1138,11 @@ def graph_triangles_cosupply(spark, sf_dir):
 
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
-    (edge a→b when a and b supply the same order, a < b). Iterative —
-    no SQL oracle (driver records the rows-only check); the algorithm
-    is pinned against a pure-Python power-iteration oracle in
+    (edge a→b when a and b supply the same order, a < b). Iterative,
+    but still oracle-gated: the DuckDB twin is a recursive-CTE power
+    method (fixed 10 iterations, dangling mass as a windowed scalar
+    per round) matching graph_stats.pagerank semantics exactly; also
+    pinned against a pure-Python power-iteration oracle in
     tests/test_operators.py to 1e-9."""
     from .operators.graph_stats import pagerank
 
@@ -1188,11 +1202,41 @@ def graph_adjacent_names_salted(spark, sf_dir):
 
 # Registry order is the driver-gate rotation: the driver records CORRECTNESS
 # rows for the FIRST 50 entries only, so each round the entries without a
-# driver-witnessed row yet (plus any new queries) are moved to the front.
-# r03 front-block = the 20 queries the r02 gate missed (r02 VERDICT item 1)
-# + queries new in r03.  Union of r01..r03 driver rows covers the registry.
+# recent driver-witnessed row (plus any new queries) are moved to the front.
+# r04 front-block = the 23 entries whose last driver row is r01/r02 (the
+# block after the r03 window) + graph_pagerank_cosupply (oracle NEW in r04 —
+# needs its first full driver row) + queries new in r04.  Union of r03+r04
+# driver rows re-covers the whole registry on current code.
 QUERIES = {
-    # --- r03 rotation: driver-unwitnessed as of r02 -----------------------
+    # --- r04 rotation: last driver row r01/r02 ----------------------------
+    "segment_price_quartiles": segment_price_quartiles,
+    "user_event_sequences": user_event_sequences,
+    "dedup_keep_docs": dedup_keep_docs,
+    "string_projection": string_projection,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
+    "dedup_lsh_jaccard_docs": dedup_lsh_jaccard_docs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_chunks": text_chunks,
+    "curation_boilerplate_strip": curation_boilerplate_strip,
+    "curation_decontaminate": curation_decontaminate,
+    "text_gopher_quality": text_gopher_quality,
+    "sample_docs_hash": sample_docs_hash,
+    "sample_per_source_topn": sample_per_source_topn,
+    "corpus_token_stats": corpus_token_stats,
+    "profile_part_columns": profile_part_columns,
+    "diff_orders_snapshots": diff_orders_snapshots,
+    # --- oracle new in r04 (was rows-only in r01-r03) ---------------------
+    "graph_pagerank_cosupply": graph_pagerank_cosupply,
+    # --- new in r04 -------------------------------------------------------
+    "events_daily_distinct_users": events_daily_distinct_users,
+    # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
     "merge_preview_orders": merge_preview_orders,
@@ -1212,12 +1256,9 @@ QUERIES = {
     "graph_adjacent_names": graph_adjacent_names,
     "graph_adjacent_names_salted": graph_adjacent_names_salted,
     "graph_triangles_cosupply": graph_triangles_cosupply,
-    "graph_pagerank_cosupply": graph_pagerank_cosupply,
-    # --- new in r03 -------------------------------------------------------
     "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
     "vector_ann_ivf_batch": vector_ann_ivf_batch,
     "graph_motif_open_wedges": graph_motif_open_wedges,
-    # --- previously driver-witnessed (r01/r02 green) ----------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_regional_revenue": q5_regional_revenue,
@@ -1245,29 +1286,6 @@ QUERIES = {
     "parts_above_brand_avg": parts_above_brand_avg,
     "pivot_order_status": pivot_order_status,
     "monthly_revenue": monthly_revenue,
-    "segment_price_quartiles": segment_price_quartiles,
-    "user_event_sequences": user_event_sequences,
-    "dedup_keep_docs": dedup_keep_docs,
-    "string_projection": string_projection,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
-    "dedup_lsh_jaccard_docs": dedup_lsh_jaccard_docs,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "text_language_id": text_language_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_chunks": text_chunks,
-    "curation_boilerplate_strip": curation_boilerplate_strip,
-    "curation_decontaminate": curation_decontaminate,
-    "text_gopher_quality": text_gopher_quality,
-    "sample_docs_hash": sample_docs_hash,
-    "sample_per_source_topn": sample_per_source_topn,
-    "corpus_token_stats": corpus_token_stats,
-    "profile_part_columns": profile_part_columns,
-    "diff_orders_snapshots": diff_orders_snapshots,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.
@@ -1983,6 +2001,14 @@ FROM events GROUP BY hour, event_type
 """
 )
 
+_o("events_daily_distinct_users")(
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY day
+"""
+)
+
 _o("corpus_balance_report")(
     """
 WITH t AS (
@@ -2290,6 +2316,55 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e1.b = e2.a
 JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+_o("graph_pagerank_cosupply")(
+    # Recursive-CTE power method, exact twin of graph_stats.pagerank
+    # (damping .85, 10 iterations, uniform dangling-mass
+    # redistribution). Inside WITH RECURSIVE DuckDB treats the bare
+    # UNION of a helper CTE as UNION ALL, hence the explicit DISTINCT
+    # for the node set. Each recursive reference sees the previous
+    # iteration's working table only (verified empirically), so the
+    # three references (iter scalar, dangling mass, contributions)
+    # all read iteration i to produce i+1.
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS s, l2.l_suppkey AS t
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT t FROM e)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT s, count(*)::DOUBLE AS od FROM e GROUP BY s),
+links AS (SELECT e.s, e.t, od FROM e JOIN outdeg USING (s)),
+it(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT r.iter + 1, n.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (d.m / (SELECT n FROM nn) + coalesce(c.contrib, 0.0))
+  FROM nodes n
+  CROSS JOIN (SELECT DISTINCT iter FROM it) r
+  CROSS JOIN (
+    SELECT coalesce(sum(rank), 0.0) AS m
+    FROM it WHERE node NOT IN (SELECT s FROM outdeg)
+  ) d
+  LEFT JOIN (
+    SELECT l.t AS node, sum(x.rank / l.od) AS contrib
+    FROM it x JOIN links l ON x.node = l.s
+    GROUP BY l.t
+  ) c ON c.node = n.node
+  WHERE r.iter < 10
+)
+SELECT node, round(rank, 6) AS rank
+FROM it WHERE iter = 10
+ORDER BY rank DESC, node ASC
+LIMIT 10
 """
 )
 

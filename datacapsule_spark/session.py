@@ -50,8 +50,20 @@ def get_spark(
     )
     # ad-hoc conf overrides for A/B measurement without code edits:
     # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd,k=v"
-    # (subprocess-based harnesses like bench/scaling.py inherit it)
-    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(",")):
+    # (subprocess-based harnesses like bench/scaling.py inherit it).
+    # Comma-separated k=v pairs — values must not contain commas.
+    # Loudly announced: a leftover export from an A/B run would
+    # otherwise silently alter correctness-gate / test sessions.
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    if extra_env:
+        import sys
+
+        print(
+            f"[datacapsule-spark] WARNING: SPARK_GRAFT_EXTRA_CONF active: "
+            f"{extra_env!r} — session configs overridden",
+            file=sys.stderr,
+        )
+    for pair in filter(None, extra_env.split(",")):
         k, _, v = pair.partition("=")
         b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():

@@ -197,8 +197,21 @@ def compact_dataset(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(str(tmp))
-    fs.delete(old, True)  # leftover from a previous crashed swap
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, True)
+    # Hadoop FileSystem.rename/delete signal failure by returning false,
+    # not raising — an unchecked false here would nest the compacted
+    # copy inside the live dataset (duplicate rows on next read) or
+    # silently no-op while we report success. Check every step.
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"compact swap: could not remove leftover {old}")
+    if not fs.rename(p, old):
+        raise IOError(f"compact swap: rename {p} -> {old} failed")
+    if not fs.rename(tmp, p):
+        # put the original back so the dataset stays readable
+        fs.rename(old, p)
+        raise IOError(f"compact swap: rename {tmp} -> {p} failed")
+    if not fs.delete(old, True):
+        raise IOError(
+            f"compact swap succeeded but could not remove backup {old}; "
+            "remove it manually before the next compaction"
+        )
     return n_out

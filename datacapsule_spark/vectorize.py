@@ -250,6 +250,71 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k=k)
 
 
+def ivf_topk_batch(
+    indexed: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF probe: Q queries in ONE Spark job (r03 VERDICT item
+    4 — the per-query `ivf_topk` loop is Q scheduler round-trips).
+
+    queries(query_id, qvec array<...>). The probe-list selection runs
+    distributed: normalized centroids become an n_lists-row broadcast
+    DataFrame, a tiny crossJoin + per-query window picks each query's
+    n_probe nearest lists, and the resulting (query_id, list_id) probe
+    table is broadcast-joined to the index — so `list_id` stays a
+    partition-pruning predicate on an index laid out by list_id, and
+    only probed lists are scanned regardless of Q. Candidates then
+    pick up their qvec (broadcast) and rank per query via window —
+    exactly `cosine_topk_batch`'s shape. Per query this returns the
+    same rows as `ivf_topk(..., n_probe=n_probe)` (pytest-pinned).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    spark = indexed.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in cn[i]]) for i in range(len(cn))],
+        "list_id int, cvec array<double>",
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("csim", _cosine_expr("qvec", "cvec"))
+        .withColumn("pn", F.row_number().over(wp))
+        .where(F.col("pn") <= n_probe)
+        .select("query_id", "list_id")
+        .localCheckpoint(eager=True)  # tiny (Q × n_probe); read twice
+    )
+    # static prune: the UNION of all probe lists is bounded by n_lists
+    # (never by Q), so collecting it is O(n_lists) — and an isin
+    # predicate statically partition-prunes a list_id-partitioned index
+    # scan, which a broadcast join alone would not (plan-tested)
+    probed_lists = [
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    ]
+    cand = indexed.where(F.col("list_id").isin(probed_lists)).join(
+        F.broadcast(probes), "list_id"
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").withColumn(
+        "sim", _cosine_expr(vec_col, "qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn", "list_id", vec_col, "qvec")
+    )
+
+
 # ------------------------------------------- LSH-bucketed ANN (scale path)
 
 def hyperplane_signatures(

@@ -162,9 +162,10 @@ def test_query_registry_consistency():
     assert set(ORACLES) <= set(QUERIES)
     assert set(e.queries()) == set(QUERIES)
     assert e.oracle_sql() == ORACLES
-    # rows-only entries (no oracle) are the deliberate, documented few
+    # every registry entry is oracle-gated since r04 (pagerank got a
+    # recursive-CTE power-method oracle, closing the last rows-only gap)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"graph_pagerank_cosupply"}
+    assert rows_only == set()
 
 
 def test_save_interaction_id_edge_cases(spark, tmp_path):

@@ -256,6 +256,23 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
     assert m, r.text  # the probe predicate reached partition pruning
     assert df.count() == 5
 
+    # batched path: the bounded probed-lists isin prefilter must reach
+    # partition pruning the same way (a broadcast join on list_id alone
+    # would scan every partition)
+    from datacapsule_spark.vectorize import ivf_topk_batch
+
+    queries = (
+        e.where(F.col("id") < 2)
+        .select(F.col("id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    bdf = ivf_topk_batch(idx, cents, queries, k=5, n_probe=2)
+    rb = explain_report(bdf)
+    mb = __import__("re").search(
+        r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", rb.text
+    )
+    assert mb, rb.text
+    assert bdf.count() == 10
+
 
 def test_corpus_balance_broadcasts_total(spark):
     """The corpus total joins back as a BROADCAST 1-row aggregate (a

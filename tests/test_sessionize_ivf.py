@@ -36,6 +36,52 @@ class TestIVF:
         narrow = [r["id"] for r in ivf_topk(indexed, centroids, q, k=1, n_probe=1).collect()]
         assert narrow == ["e42"]
 
+    def test_ivf_topk_batch_matches_per_query_loop(self, spark):
+        """ivf_topk_batch (one job for Q queries) returns per query the
+        same (id, sim) rows as the per-query ivf_topk loop — at full
+        probe AND at a narrow probe, so the batched probe-list
+        selection itself is equivalent, not just the ranking."""
+        from datacapsule_spark.vectorize import (
+            hash_embed_text,
+            ivf_index,
+            ivf_topk,
+            ivf_topk_batch,
+        )
+
+        rows = [
+            (f"e{i}", "entity", "t", f"name{i}", hash_embed_text(f"name{i}", 16).tolist())
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id string, kind string, entity_type string, name string, "
+            "embedding array<float>",
+        )
+        indexed, centroids = ivf_index(df, n_lists=8)
+        qvecs = {qi: hash_embed_text(f"name{qi}", 16) for qi in (3, 42, 117)}
+        # qvec as array<double>: the per-query loop embeds the query as
+        # double literals, so the batch path must score at the same
+        # precision for bit-identical sims
+        queries = spark.createDataFrame(
+            [(qi, [float(x) for x in v]) for qi, v in qvecs.items()],
+            "query_id int, qvec array<double>",
+        )
+        for n_probe in (8, 2):
+            batch = ivf_topk_batch(
+                indexed, centroids, queries, k=5, n_probe=n_probe
+            )
+            got = {
+                (r["query_id"], r["id"], round(r["sim"], 9))
+                for r in batch.collect()
+            }
+            want = set()
+            for qi, v in qvecs.items():
+                for r in ivf_topk(
+                    indexed, centroids, v, k=5, n_probe=n_probe
+                ).collect():
+                    want.add((qi, r["id"], round(r["sim"], 9)))
+            assert got == want, f"n_probe={n_probe}"
+
     def test_ivf_assigns_every_vector(self, spark):
         from datacapsule_spark.vectorize import hash_embed_text, ivf_index
 
