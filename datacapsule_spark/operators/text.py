@@ -209,6 +209,78 @@ def token_stats(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: rank documents by relevance to a
+    literal term set — the lexical counterpart of cosine_topk, and the
+    query-based corpus-curation screen ("find training docs about X")
+    the embedding path can't do without a model.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Shuffle profile (the 100 TB shape): NO token explode and no
+    token shuffle at all. One map-side projection computes per-doc
+    length and each query term's tf from the token array in place;
+    corpus stats (N, avgdl, per-term df) reduce to ONE 1-row
+    aggregate whose Q+2 values return to the driver and enter the
+    scoring expression as literals; the ranked read is a single
+    TakeOrderedAndProject over the (lazily checkpointed) projection.
+    Two narrow passes total, zero wide exchanges.
+    """
+    import math
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(_tokens(text_col), lambda t: t != "")
+
+    def _match(term):
+        # NB: a two-arg lambda in F.filter means (element, index) to
+        # PySpark, so default-arg capture (lambda x, t=t: ...) silently
+        # binds the INDEX — a real closure per term is required
+        return lambda x: x == F.lit(term)
+
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _match(t))).cast("double").alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).localCheckpoint(eager=False)  # stats pass + scoring pass
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        df_t = stats[f"_df{i}"] or 0
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col(f"_tf{i}")
+        score = score + F.lit(idf) * tf * (k1 + 1.0) / (
+            tf + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
+        )
+    return (
+        proj.withColumn("bm25", score)
+        .where(F.col("bm25") > 0)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:

@@ -906,6 +906,20 @@ def corpus_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir), min_df=3)
 
 
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (operators/text.bm25_topk): top-10
+    docs for a 3-term query — the query-based curation screen. Zero
+    wide exchanges: per-doc tf/dl computed map-side from the token
+    array (no explode), corpus stats one 1-row aggregate, ranked read
+    a TakeOrderedAndProject. Oracle recomputes the identical formula
+    in DuckDB with the same tokenizer."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), ["spark", "join", "stream"], k=10
+    )
+
+
 def dedup_containment_docs(spark, sf_dir):
     """Substring-containment pairs: complete rarest-shingle blocking +
     exact contains() verify — output IS the containment relation over
@@ -1101,17 +1115,17 @@ def graph_adjacent_names(spark, sf_dir):
     )
 
 
-def _cosupply_pairs(spark, sf_dir, a_col="a", b_col="b"):
+def _cosupply_pairs(spark, sf_dir, a_col="a", b_col="b", min_qty=45):
     """Supplier pairs sharing a HIGH-QUANTITY order line (quantity >=
-    45 on both sides). The unrestricted co-order graph turns near-
+    min_qty on both sides). The unrestricted co-order graph turns near-
     complete as SF grows (every supplier eventually co-orders with
     every other: 453k edges / 124M triangles at sf0.1) — triangle
     counts on near-complete graphs are inherently Θ(N³), so the gated
     graph bounds density with a selective predicate; the filter is
     pushed to the lineitem scan."""
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45).select(
-        "l_orderkey", "l_suppkey"
-    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= min_qty
+    ).select("l_orderkey", "l_suppkey")
     l1 = li.alias("l1")
     l2 = li.alias("l2")
     return (
@@ -1153,6 +1167,25 @@ def graph_pagerank_cosupply(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(10)
     )
+
+
+def graph_components_cosupply(spark, sf_dir):
+    """Distributed connected components — the engine's G5
+    canonicalization primitive (canonicalize.py:27, the alternating
+    large-star/small-star loop of Kiveris et al.) driver-gated for the
+    first time: per-node (node_id, canonical_id = component min) over
+    the SPARSE co-supply graph. min_qty=50 keeps only max-quantity
+    lines, which at sf0.01 yields ~51 suppliers in ~11 nontrivial
+    components (the >=45 graph is one giant component — a vacuous
+    witness). driver_threshold=0 forces the DISTRIBUTED loop, so the
+    driver row witnesses the MapReduce-CC algorithm itself; the
+    driver union-find fast path is equivalence-pinned separately in
+    tests/test_canonicalize.py. Oracle: DuckDB recursive-CTE
+    reachability closure + min per node."""
+    from .canonicalize import connected_components
+
+    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    return connected_components(pairs, "a", "b", driver_threshold=0)
 
 
 def graph_motif_open_wedges(spark, sf_dir):
@@ -1236,6 +1269,8 @@ QUERIES = {
     "graph_pagerank_cosupply": graph_pagerank_cosupply,
     # --- new in r04 -------------------------------------------------------
     "events_daily_distinct_users": events_daily_distinct_users,
+    "graph_components_cosupply": graph_components_cosupply,
+    "text_bm25_topk": text_bm25_topk,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2001,6 +2036,46 @@ FROM events GROUP BY hour, event_type
 """
 )
 
+_o("text_bm25_topk")(
+    # Same tokenizer as the Spark side (lower/trim/\s+ split, empties
+    # dropped), same BM25 constants (k1=1.2, b=0.75), same smoothed
+    # idf; ordering on the ROUNDED score with doc_id tiebreak in both
+    # engines so the top-k boundary is ulp-stable.
+    """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl,
+         len(list_filter(toks, x -> x = 'spark'))::DOUBLE AS tf0,
+         len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf1,
+         len(list_filter(toks, x -> x = 'stream'))::DOUBLE AS tf2
+  FROM d
+), s AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM t
+)
+SELECT doc_id, round(score, 6) AS bm25 FROM (
+  SELECT t.doc_id,
+         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+           * t.tf0 * 2.2 / (t.tf0 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+       + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+           * t.tf1 * 2.2 / (t.tf1 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+       + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+           * t.tf2 * 2.2 / (t.tf2 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+         AS score
+  FROM t CROSS JOIN s
+) WHERE score > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+)
+
 _o("events_daily_distinct_users")(
     """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
@@ -2365,6 +2440,32 @@ SELECT node, round(rank, 6) AS rank
 FROM it WHERE iter = 10
 ORDER BY rank DESC, node ASC
 LIMIT 10
+"""
+)
+
+_o("graph_components_cosupply")(
+    # Reachability closure: reach(u, r) = r reachable from u over the
+    # undirected edge set; min reachable node per node == component
+    # canonical id (recursive UNION dedups, so the closure terminates).
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+),
+ud AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+  )
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM ud
+  UNION
+  SELECT ud.u, reach.r FROM ud JOIN reach ON ud.v = reach.u
+)
+SELECT u AS node_id, min(r) AS canonical_id FROM reach GROUP BY u
 """
 )
 

@@ -275,6 +275,49 @@ class TestText:
         assert t[0]["ws_tokens"] == 9
         assert t[6]["ws_tokens"] == 1
 
+    def test_bm25_topk_matches_python_oracle(self, spark):
+        """bm25_topk vs a from-scratch Okapi BM25 in pure Python on a
+        toy corpus: same ranking, scores to 1e-9; docs with no query
+        term are excluded; k truncates."""
+        import math
+
+        from datacapsule_spark.operators.text import bm25_topk
+
+        corpus = [
+            (0, "spark join spark stream table"),
+            (1, "join join join row"),
+            (2, "table row scan sort"),          # no query term
+            (3, "stream"),
+            (4, "spark stream join spark spark"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        terms, k1, b = ["spark", "join", "stream"], 1.2, 0.75
+
+        toks = {d: t.split() for d, t in corpus}
+        n = len(corpus)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        want = {}
+        for d, tl in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = tl.count(t)
+                dfreq = sum(1 for v in toks.values() if t in v)
+                idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tl) / avgdl))
+            if s > 0:
+                want[d] = s
+        got = bm25_topk(df, terms, k=10).collect()
+        assert [r["doc_id"] for r in got] == sorted(
+            want, key=lambda d: (-round(want[d], 6), d)
+        )
+        for r in got:
+            assert r["bm25"] == pytest.approx(round(want[r["doc_id"]], 6), abs=1e-6)
+        assert 2 not in {r["doc_id"] for r in got}
+        # k truncation
+        assert len(bm25_topk(df, terms, k=2).collect()) == 2
+        with pytest.raises(ValueError):
+            bm25_topk(df, [], k=2)
+
     def test_chunk_documents_windows(self, spark):
         from datacapsule_spark.operators.text import chunk_documents
 
