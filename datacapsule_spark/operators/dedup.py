@@ -506,6 +506,37 @@ def simhash_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    exact: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-style surviving set (Abbas et al. 2023's shape, exact
+    clustering instead of per-centroid sampling): items whose
+    embeddings are cosine-similar ≥ threshold form duplicate clusters
+    via connected components over the pair graph; each cluster keeps
+    min(id), the rest drop with one anti-join — near_dedup's exact
+    composition, driven by embedding similarity instead of MinHash.
+
+    Pair generation is embedding_cosine_pairs: the default is the
+    multi-table hyperplane-LSH bucketed join (never all-pairs); CC runs
+    on the pair set only (tiered union-find / large-star small-star).
+    exact=True is the all-pairs oracle twin for small slices."""
+    from ..canonicalize import connected_components
+
+    pairs = embedding_cosine_pairs(
+        embeddings, id_col, vec_col, threshold, exact=exact, **lsh_kwargs
+    )
+    mapping = connected_components(pairs, "a", "b")
+    losers = mapping.where(F.col("node_id") != F.col("canonical_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return embeddings.join(losers, id_col, "left_anti")
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -566,6 +566,23 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup-style surviving set end-to-end (operators/dedup.
+    semantic_dedup): cosine-pair graph → connected components → keep
+    min id per cluster. exact=True pair twin so the DuckDB oracle
+    (list_cosine_similarity all-pairs + recursive-CTE closure) verifies
+    the whole pairs→CC→anti-join chain; the production default is the
+    bucketed hyperplane-LSH pair path (recall-gated in pytest)."""
+    from .operators.dedup import semantic_dedup
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    return semantic_dedup(e, threshold=0.3, exact=True).select("vec_id", "label")
+
+
 def dedup_lsh_jaccard_docs(spark, sf_dir):
     """The production near-dup chain end-to-end (VERDICT r01 item 3):
     MinHash signatures → banded LSH candidate pairs → exact n-gram
@@ -1271,6 +1288,7 @@ QUERIES = {
     "events_daily_distinct_users": events_daily_distinct_users,
     "graph_components_cosupply": graph_components_cosupply,
     "text_bm25_topk": text_bm25_topk,
+    "dedup_semantic_keep": dedup_semantic_keep,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2172,6 +2190,38 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 200 AND b.vec_id < 200
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+)
+
+_o("dedup_semantic_keep")(
+    # all-pairs cosine graph (the exact twin of the Spark side) →
+    # recursive-CTE reachability closure → component min → keep roots
+    # and untouched vectors (the closure only covers vectors with at
+    # least one ≥-threshold pair; everything else survives trivially)
+    """
+WITH RECURSIVE
+e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+),
+ud AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+  )
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM ud
+  UNION
+  SELECT ud.u, reach.r FROM ud JOIN reach ON ud.v = reach.u
+),
+losers AS (
+  SELECT u FROM (SELECT u, min(r) AS root FROM reach GROUP BY u)
+  WHERE u <> root
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id < 200 AND vec_id NOT IN (SELECT u FROM losers)
 """
 )
 

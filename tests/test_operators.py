@@ -185,6 +185,37 @@ class TestDedup:
         recall = len(bucketed & exact) / len(exact)
         assert recall >= 0.95, f"bucketed recall {recall:.3f} on {len(exact)} pairs"
 
+    def test_semantic_dedup_keeps_min_per_cluster(self, spark):
+        """semantic_dedup (SemDeDup-style keep set): planted duplicate
+        groups collapse to their min id; singletons survive; the
+        DEFAULT bucketed-LSH path agrees with exact=True when the
+        duplicates are identical vectors (identical vectors share every
+        bucket signature, so LSH candidates are guaranteed)."""
+        from datacapsule_spark.operators.dedup import semantic_dedup
+        from datacapsule_spark.vectorize import hash_embed_text
+
+        def emb(text):
+            return hash_embed_text(text, 16).tolist()
+
+        rows = (
+            [(i, "g0", emb("alpha")) for i in (0, 1, 2)]
+            + [(i, "g1", emb("beta")) for i in (10, 11)]
+            + [(20, "solo", emb("gamma")), (21, "solo", emb("delta"))]
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        want = {0, 10, 20, 21}
+        got_exact = {
+            r["vec_id"]
+            for r in semantic_dedup(df, threshold=0.999, exact=True).collect()
+        }
+        assert got_exact == want
+        got_lsh = {
+            r["vec_id"] for r in semantic_dedup(df, threshold=0.999).collect()
+        }
+        assert got_lsh == want
+
 
 class TestAsofJoin:
     def test_backward_inclusive_semantics(self, spark):

@@ -274,6 +274,16 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path):
     assert bdf.count() == 10
 
 
+def test_bm25_no_token_explode(spark):
+    """bm25_topk's defining plan property: per-doc tf/dl come from the
+    token ARRAY map-side — no Generate (explode) node, no join, and the
+    ranked read is a TakeOrderedAndProject."""
+    r = explain_report(QUERIES["text_bm25_topk"](spark, SF))
+    assert "Generate" not in r.text, r.text  # no explode anywhere
+    assert r.sort_merge_joins + r.broadcast_joins == 0, r.text
+    assert "TakeOrderedAndProject" in r.text, r.text
+
+
 def test_corpus_balance_broadcasts_total(spark):
     """The corpus total joins back as a BROADCAST 1-row aggregate (a
     keyless cross join compiles to BroadcastNestedLoopJoin of the
