@@ -78,8 +78,9 @@ def pagerank(
     Per iteration: one join of ranks onto the (pre-materialized)
     out-degree edge list, one aggregation of contributions per target.
     Dangling nodes (no out-edges) redistribute their mass uniformly —
-    the mass is a 1-row driver scalar per round, the same bounded
-    per-round-action pattern as the BFS hop loop. Each round eagerly
+    the mass is a 1-row AGGREGATE folded into the round's plan via a
+    broadcast cross join (never collected: one Spark job per round,
+    not a driver round-trip plus a job). Each round eagerly
     localCheckpoints to truncate lineage, so the plan stays O(1) deep
     across max_iter rounds (the property that lets the loop run on a
     billion-edge graph without a 20-level join tower)."""
@@ -102,11 +103,10 @@ def pagerank(
         eager=True
     )
     for _ in range(max_iter):
-        dangling_mass = (
+        dm = (
             ranks.join(dangling_nodes, "node")
             .groupBy()
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
             links.join(ranks, links.s == ranks.node)
@@ -114,13 +114,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))  # 1-row aggregate, stays in-plan
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
