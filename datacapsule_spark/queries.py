@@ -384,6 +384,19 @@ def segment_price_quartiles(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase (operators/funnel.py):
+    per-user strictly-increasing-timestamp subsequence match via
+    greedy frontier aggregation — order-sensitive analytics a single
+    grouped count can't express. Oracle chains the identical greedy
+    min-after-frontier steps in SQL."""
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def user_event_sequences(spark, sf_dir):
     """Per-user ordered event-type sequence (sessionization precursor):
     sort_array over collected (ts, type) structs → concat for
@@ -1289,6 +1302,7 @@ QUERIES = {
     "graph_components_cosupply": graph_components_cosupply,
     "text_bm25_topk": text_bm25_topk,
     "dedup_semantic_keep": dedup_semantic_keep,
+    "events_funnel": events_funnel,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2091,6 +2105,32 @@ SELECT doc_id, round(score, 6) AS bm25 FROM (
 ) WHERE score > 0
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 10
+"""
+)
+
+_o("events_funnel")(
+    # greedy frontier chain, identical semantics to funnel_counts: the
+    # earliest valid time per step never eliminates a later match, so
+    # greedy == exists-ordered-subsequence
+    """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY e.user_id
+)
+SELECT 0::INTEGER AS step_idx, 'view' AS step,
+       (SELECT count(*) FROM u1)::BIGINT AS n_users
+UNION ALL
+SELECT 1::INTEGER, 'click', (SELECT count(*) FROM u2)::BIGINT
+UNION ALL
+SELECT 2::INTEGER, 'purchase', (SELECT count(*) FROM u3)::BIGINT
 """
 )
 

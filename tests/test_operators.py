@@ -217,6 +217,43 @@ class TestDedup:
         assert got_lsh == want
 
 
+class TestFunnel:
+    def test_ordered_subsequence_semantics(self, spark):
+        """Funnel counts = users holding the steps as a strictly
+        increasing-timestamp subsequence: out-of-order completions
+        don't count, equal timestamps don't chain, repeats may supply
+        later steps."""
+        from datacapsule_spark.operators.funnel import funnel_counts
+
+        rows = [
+            # u1: clean v(1) c(2) p(3) → depth 3
+            (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+            # u2: purchase BEFORE click → depth 1 only... but a second
+            # view(5) doesn't help without a later click → still depth 1
+            (2, "view", 1), (2, "purchase", 2), (2, "click", 0),
+            (2, "view", 5),
+            # u3: equal timestamps never chain (strict >)
+            (3, "view", 7), (3, "click", 7), (3, "purchase", 8),
+            # u4: greedy must not be defeated: v(1) c(2) v(3) c(4) p(5)
+            (4, "view", 1), (4, "click", 2), (4, "view", 3),
+            (4, "click", 4), (4, "purchase", 5),
+            # u5: no view at all → appears at no step
+            (5, "click", 1), (5, "purchase", 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long"
+        )
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+        }
+        # view: u1,u2,u3,u4; click after view: u1,u4 (u2's click is
+        # earlier, u3's is simultaneous); purchase after that: u1,u4
+        assert out == {"view": 4, "click": 2, "purchase": 2}
+        with pytest.raises(ValueError):
+            funnel_counts(df, [])
+
+
 class TestAsofJoin:
     def test_backward_inclusive_semantics(self, spark):
         from datacapsule_spark.operators.asof import asof_join
