@@ -950,6 +950,22 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+def text_bm25_index_topk(spark, sf_dir):
+    """The index-serving BM25 path end-to-end (operators/retrieval):
+    build the bucket-partitioned postings index into a fresh temp dir,
+    then answer a 2-term query reading ONLY those terms' bucket
+    partitions (PartitionFilters plan-tested). Same formula as
+    text_bm25_topk, so the oracle is the same SQL twin with this
+    query's terms — the driver row witnesses build → prune → score."""
+    import tempfile
+
+    from .operators.retrieval import bm25_index_topk, build_bm25_index
+
+    idx = tempfile.mkdtemp(prefix="bm25_gate_idx_")
+    build_bm25_index(_docs(spark, sf_dir), idx, n_buckets=16)
+    return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
+
+
 def dedup_containment_docs(spark, sf_dir):
     """Substring-containment pairs: complete rarest-shingle blocking +
     exact contains() verify — output IS the containment relation over
@@ -1303,6 +1319,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "dedup_semantic_keep": dedup_semantic_keep,
     "events_funnel": events_funnel,
+    "text_bm25_index_topk": text_bm25_index_topk,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2100,6 +2117,40 @@ SELECT doc_id, round(score, 6) AS bm25 FROM (
            * t.tf1 * 2.2 / (t.tf1 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
        + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
            * t.tf2 * 2.2 / (t.tf2 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+         AS score
+  FROM t CROSS JOIN s
+) WHERE score > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+)
+
+_o("text_bm25_index_topk")(
+    # identical BM25 formula-twin as text_bm25_topk, for the
+    # index-path query's terms ('table', 'scan')
+    """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl,
+         len(list_filter(toks, x -> x = 'table'))::DOUBLE AS tf0,
+         len(list_filter(toks, x -> x = 'scan'))::DOUBLE AS tf1
+  FROM d
+), s AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+  FROM t
+)
+SELECT doc_id, round(score, 6) AS bm25 FROM (
+  SELECT t.doc_id,
+         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+           * t.tf0 * 2.2 / (t.tf0 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+       + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+           * t.tf1 * 2.2 / (t.tf1 + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
          AS score
   FROM t CROSS JOIN s
 ) WHERE score > 0

@@ -386,6 +386,37 @@ class TestText:
         with pytest.raises(ValueError):
             bm25_topk(df, [], k=2)
 
+    def test_bm25_index_equals_corpus_scan(self, spark, tmp_path):
+        """The inverted-index path returns exactly the corpus-scan
+        path's scores and ranking (same formula, corpus constants
+        captured at build), including a term absent from the corpus."""
+        from datacapsule_spark.operators.retrieval import (
+            bm25_index_topk,
+            build_bm25_index,
+        )
+        from datacapsule_spark.operators.text import bm25_topk
+
+        corpus = [
+            (0, "spark join spark stream table"),
+            (1, "join join join row"),
+            (2, "table row scan sort"),
+            (3, "stream"),
+            (4, "spark stream join spark spark"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        idx = str(tmp_path / "bm25_idx")
+        build_bm25_index(df, idx, n_buckets=8)
+        for terms in (["spark", "join", "stream"], ["row", "nosuchterm"]):
+            want = [
+                (r["doc_id"], r["bm25"])
+                for r in bm25_topk(df, terms, k=10).collect()
+            ]
+            got = [
+                (r["doc_id"], r["bm25"])
+                for r in bm25_index_topk(spark, idx, terms, k=10).collect()
+            ]
+            assert got == want, terms
+
     def test_chunk_documents_windows(self, spark):
         from datacapsule_spark.operators.text import chunk_documents
 

@@ -284,6 +284,27 @@ def test_bm25_no_token_explode(spark):
     assert "TakeOrderedAndProject" in r.text, r.text
 
 
+def test_bm25_index_prunes_bucket_partitions(spark, tmp_path):
+    """The inverted-index layout's point: a query's postings scan must
+    carry a bucket PartitionFilter — only the query terms' partitions
+    are read, never the whole index."""
+    from datacapsule_spark.operators.retrieval import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, idx, n_buckets=16)
+    df = bm25_index_topk(spark, idx, ["spark", "join"], k=5)
+    r = explain_report(df)
+    m = __import__("re").search(
+        r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", r.text
+    )
+    assert m, r.text
+    assert df.count() == 5
+
+
 def test_corpus_balance_broadcasts_total(spark):
     """The corpus total joins back as a BROADCAST 1-row aggregate (a
     keyless cross join compiles to BroadcastNestedLoopJoin of the
