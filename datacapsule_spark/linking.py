@@ -59,13 +59,29 @@ def lsh_alias_pairs(
     jaccard_max_distance: float = 0.4,
     num_hash_tables: int = 5,
     min_rescore: float = 0.7,
+    score_fn: str = "jaccard",
 ) -> DataFrame:
     """Near-duplicate alias candidates via MinHash-LSH over 3-gram
-    shingles of the normalized name, re-scored with exact Jaccard.
+    shingles of the normalized name, re-scored exactly.
 
-    Returns alias_pairs(a, b, score) with score = exact 3-gram Jaccard
-    similarity ≥ min_rescore. Pairs are emitted once (a < b).
+    score_fn="jaccard" (default): exact 3-gram set Jaccard.
+    score_fn="tfidf_cosine": TF-IDF-weighted cosine over the gram sets
+    — each gram weighs by its smoothed idf from the NAME DICTIONARY
+    (rare grams dominate, so two long names sharing only ubiquitous
+    affixes like 'get'/'handler' score low where raw Jaccard would
+    over-link). Binary tf over distinct grams, so
+        cos(A, B) = Σ_{g∈A∩B} idf(g)² / (‖A‖ ‖B‖),
+        ‖X‖ = sqrt(Σ_{g∈X} idf(g)²).
+    Computed on CANDIDATES only: the pair set explodes its
+    intersection grams against the (dictionary-sized, broadcastable)
+    idf table; per-name norms come from one explode+join+groupBy over
+    the name dictionary — never the corpus.
+
+    Returns alias_pairs(a, b, score) with score ≥ min_rescore. Pairs
+    are emitted once (a < b).
     """
+    if score_fn not in ("jaccard", "tfidf_cosine"):
+        raise ValueError("score_fn must be 'jaccard' or 'tfidf_cosine'")
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     n = (
@@ -98,22 +114,64 @@ def lsh_alias_pairs(
             F.col("datasetB.grams").alias("gb"),
         )
     )
-    # exact Jaccard re-score, JVM-side (no UDF)
-    rescored = pairs.withColumn(
-        "score",
-        F.size(F.array_intersect("ga", "gb"))
-        / F.size(F.array_union("ga", "gb")),
-    ).drop("ga", "gb")
+    if score_fn == "jaccard":
+        # exact Jaccard re-score, JVM-side (no UDF)
+        rescored = pairs.withColumn(
+            "score",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        ).drop("ga", "gb")
+        return rescored.where(F.col("score") >= min_rescore)
+
+    # TF-IDF cosine: idf from the name dictionary's gram dfs
+    n_names = grams.count()
+    idf = (
+        grams.select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))  # grams distinct per name
+        .withColumn(
+            "idf", F.log((F.lit(float(n_names)) + 1) / (F.col("df") + 1)) + 1
+        )
+        .select("g", "idf")
+    )
+    norms = (
+        grams.select(F.col("name"), F.explode("grams").alias("g"))
+        .join(F.broadcast(idf), "g")
+        .groupBy("name")
+        .agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("nrm"))
+    )
+    dots = (
+        pairs.select(
+            "a", "b", F.explode(F.array_intersect("ga", "gb")).alias("g")
+        )
+        .join(F.broadcast(idf), "g")
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("idf") * F.col("idf")).alias("dot"))
+    )
+    na = norms.select(F.col("name").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("name").alias("b"), F.col("nrm").alias("nb"))
+    rescored = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("score")
+        )
+    )
     return rescored.where(F.col("score") >= min_rescore)
 
 
 def alias_pairs(
-    names: DataFrame, name_col: str = "name", use_lsh: bool = True
+    names: DataFrame,
+    name_col: str = "name",
+    use_lsh: bool = True,
+    score_fn: str = "jaccard",
 ) -> DataFrame:
-    """Union of the exact-normal-form tier and (optionally) the LSH tier."""
+    """Union of the exact-normal-form tier and (optionally) the LSH
+    tier; score_fn selects the LSH tier's exact re-score (see
+    lsh_alias_pairs)."""
     exact = exact_norm_alias_pairs(names, name_col)
     if not use_lsh:
         return exact
-    return exact.unionByName(lsh_alias_pairs(names, name_col)).dropDuplicates(
-        ["a", "b"]
-    )
+    return exact.unionByName(
+        lsh_alias_pairs(names, name_col, score_fn=score_fn)
+    ).dropDuplicates(["a", "b"])

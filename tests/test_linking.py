@@ -34,6 +34,66 @@ def test_lsh_alias_pairs_finds_near_names(spark):
     assert all(0 < s <= 1 for s in pairs.values())
 
 
+def test_lsh_tfidf_cosine_rescore(spark):
+    """score_fn='tfidf_cosine' (the north-star wording: MinHash-LSH
+    blocking + TF-IDF cosine scoring): scores match a from-scratch
+    Python computation of idf-weighted binary-gram cosine over the
+    same dictionary, and the typo pair still links."""
+    import math
+
+    from datacapsule_spark.linking import lsh_alias_pairs, normalize_name  # noqa: F401
+
+    raw = [
+        "sym:HttpClientFactory",
+        "sym:http_client_factory",
+        "sym:HttpClientFactry",
+        "sym:StreamBufferWriter",
+        "sym:CompletelyDifferent",
+    ]
+    names = spark.createDataFrame([(n,) for n in raw], "name string")
+    got = {
+        frozenset([r["a"], r["b"]]): r["score"]
+        for r in lsh_alias_pairs(
+            names, min_rescore=0.3, score_fn="tfidf_cosine"
+        ).collect()
+    }
+    assert frozenset(["sym:HttpClientFactory", "sym:HttpClientFactry"]) in got
+
+    # pure-Python oracle over the same normalized-gram dictionary
+    import re
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]", "", s.lower())
+
+    def grams(s):
+        g = norm(s)
+        return {g[i : i + 3] for i in range(len(g) - 2)}
+
+    dic = {n: grams(n) for n in raw if len(norm(n)) >= 3}
+    n_names = len(dic)
+    df = {}
+    for gs in dic.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    idf = {g: math.log((n_names + 1) / (d + 1)) + 1 for g, d in df.items()}
+
+    def cos(a, b):
+        ga, gb = dic[a], dic[b]
+        dot = sum(idf[g] ** 2 for g in ga & gb)
+        na = math.sqrt(sum(idf[g] ** 2 for g in ga))
+        nb = math.sqrt(sum(idf[g] ** 2 for g in gb))
+        return dot / (na * nb)
+
+    for pair, score in got.items():
+        a, b = sorted(pair)
+        assert score == pytest.approx(cos(a, b), abs=1e-9), pair
+    # idf weighting: the shared-rare-grams typo pair outranks any
+    # pair that would share only common affixes
+    assert got[frozenset(["sym:HttpClientFactory", "sym:HttpClientFactry"])] > 0.5
+    with pytest.raises(ValueError):
+        lsh_alias_pairs(names, score_fn="dice")
+
+
 def test_pipeline_with_lsh_merges_typos(spark, tmp_path):
     """Integration: use_lsh=True resolves near-miss aliases that the
     exact tier cannot (typo variants collapse to one canonical id)."""
