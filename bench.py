@@ -38,10 +38,15 @@ HEADLINE = [
     "vector_knn_batch",
     "kg_triples_documents",
     "graph_bfs_customers_in_region",
-    # new in r04: the iterative PageRank loop and the HLL day-grain
-    # re-aggregation get recorded perf numbers alongside their oracles
+    # new in r04: iterative loops (PageRank, distributed CC, k-core
+    # peeling), the HLL day-grain re-aggregation, BM25 retrieval and
+    # the ordered funnel get recorded perf numbers alongside oracles
     "graph_pagerank_cosupply",
     "events_daily_distinct_users",
+    "graph_components_cosupply",
+    "graph_kcore_cosupply",
+    "text_bm25_topk",
+    "events_funnel",
 ]
 
 

@@ -66,6 +66,63 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     return closed.groupBy().agg(F.count("*").alias("n_triangles"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree ≥ k — the graph-curation primitive that prunes weakly
+    attached fringe (the k-core is a unique fixpoint, so parallel
+    peeling — removing ALL under-degree nodes each round — reaches the
+    same set as sequential peeling).
+
+    Per round: one degree aggregation over the surviving undirected
+    edge set, one semi-join filter of edges on surviving endpoints,
+    eager localCheckpoint to truncate lineage. Rounds needed =
+    peeling depth (typically << node count); the loop exits as soon
+    as a round removes nothing (1-row count check, the same bounded
+    per-round driver action as BFS/PageRank). Returns (node).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        n_edges = e.count()
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == n_edges:  # stable: every survivor kept
+            e = e2
+            break
+        e = e2
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -1234,6 +1234,33 @@ def graph_components_cosupply(spark, sf_dir):
     return connected_components(pairs, "a", "b", driver_threshold=0)
 
 
+def graph_kcore_cosupply(spark, sf_dir):
+    """2-core of the sparse co-supply graph (operators/graph_stats.
+    k_core — iterative parallel peeling, the curation primitive that
+    prunes weakly attached fringe): 9 of 51 nodes survive at sf0.01,
+    so the peeling does real work. Oracle: fixed-30-round parallel
+    peeling as a recursive CTE (k-core is a unique fixpoint, reached
+    well before round 30 on this graph)."""
+    from .operators.graph_stats import k_core
+
+    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    return k_core(pairs, k=2)
+
+
+def graph_degree_histogram_cosupply(spark, sf_dir):
+    """Degree distribution of the sparse co-supply graph — (degree,
+    n_nodes), the first screen of any graph-shape audit."""
+    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    und = pairs.where(F.col("a") != F.col("b"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def graph_motif_open_wedges(spark, sf_dir):
     """Declarative motif finding (operators/motif.py, GraphFrames-style
     `find` subset): open wedges a→b→c with NO closing a→c edge over the
@@ -1320,6 +1347,8 @@ QUERIES = {
     "dedup_semantic_keep": dedup_semantic_keep,
     "events_funnel": events_funnel,
     "text_bm25_index_topk": text_bm25_index_topk,
+    "graph_kcore_cosupply": graph_kcore_cosupply,
+    "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2532,6 +2561,60 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e1.b = e2.a
 JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+_o("graph_kcore_cosupply")(
+    # fixed-round parallel peeling: round i+1 keeps nodes whose degree
+    # WITHIN round i's surviving set is >= k; the k-core is the unique
+    # fixpoint, reached long before round 30 on 51 nodes. Each
+    # recursive reference sees the previous round's working table.
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+),
+ud AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+  ) WHERE u <> v
+),
+it(iter, node) AS (
+  SELECT DISTINCT 0, u FROM ud
+  UNION ALL
+  SELECT r.iter + 1, r.node
+  FROM it r
+  JOIN (
+    SELECT ud.u AS node, count(*) AS d
+    FROM ud
+    JOIN it a ON ud.u = a.node
+    JOIN it b ON ud.v = b.node
+    GROUP BY ud.u
+  ) deg ON deg.node = r.node
+  WHERE r.iter < 30 AND deg.d >= 2
+)
+SELECT node FROM it WHERE iter = 30
+"""
+)
+
+_o("graph_degree_histogram_cosupply")(
+    """
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e WHERE a <> b
+    UNION ALL SELECT b FROM e WHERE a <> b
+  ) GROUP BY node
+)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
 """
 )
 

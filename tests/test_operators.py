@@ -253,6 +253,61 @@ class TestFunnel:
         with pytest.raises(ValueError):
             funnel_counts(df, [])
 
+    def test_funnel_property_random_events(self, spark):
+        """Property check on random event logs: funnel counts equal a
+        brute-force exists-strictly-increasing-subsequence oracle
+        (hypothesis-style generation, fixed seeds for determinism)."""
+        import random
+
+        from datacapsule_spark.operators.funnel import funnel_counts
+
+        steps = ["a", "b", "c"]
+
+        from itertools import product
+
+        def depth(evs):
+            # brute force (independent of the operator's greedy): does
+            # ANY choice of one event per step have strictly
+            # increasing timestamps?
+            best = 0
+            for k in range(1, len(steps) + 1):
+                pools = [
+                    [ts for typ, ts in evs if typ == steps[i]] for i in range(k)
+                ]
+                ok = any(
+                    all(c[i] < c[i + 1] for i in range(k - 1))
+                    for c in product(*pools)
+                )
+                if not ok:
+                    break
+                best = k
+            return best
+
+        for seed in (0, 1, 2, 3):
+            rng = random.Random(seed)
+            rows = [
+                (u, rng.choice(["a", "b", "c", "x"]), rng.randint(0, 6))
+                for u in range(12)
+                for _ in range(rng.randint(0, 6))
+            ]
+            if not rows:
+                continue
+            df = spark.createDataFrame(
+                rows, "user_id long, event_type string, ts long"
+            )
+            per_user = {}
+            for u, typ, ts in rows:
+                per_user.setdefault(u, []).append((typ, ts))
+            want = {
+                i: sum(1 for evs in per_user.values() if depth(evs) > i)
+                for i in range(3)
+            }
+            got = {
+                r["step_idx"]: r["n_users"]
+                for r in funnel_counts(df, steps).collect()
+            }
+            assert got == want, seed
+
 
 class TestAsofJoin:
     def test_backward_inclusive_semantics(self, spark):
@@ -1193,6 +1248,30 @@ class TestGraphStats:
         assert abs(sum(got.values()) - 1.0) < 1e-9  # probability mass
         for node, w in want.items():
             assert got[node] == pytest.approx(w, abs=1e-9), node
+
+    def test_k_core_matches_networkx(self, spark):
+        """k_core (parallel peeling) == NetworkX's k_core node set on a
+        random graph for k = 2 and 3, plus the empty-core edge case."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import k_core
+
+        rng = random.Random(9)
+        edges = list({(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(160)})
+        edges = [(a, b) for a, b in edges if a != b]
+        g = nx.Graph()
+        g.add_edges_from(edges)
+        df = spark.createDataFrame(edges, "a long, b long")
+        for k in (2, 3):
+            want = set(nx.k_core(g, k).nodes())
+            got = {r["node"] for r in k_core(df, k=k).collect()}
+            assert got == want, k
+        # a tree has no 2-core
+        tree = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (1, 4)], "a long, b long"
+        )
+        assert k_core(tree, k=2).count() == 0
 
     def test_pack_sequences(self, spark):
         from datacapsule_spark.operators.curation import pack_sequences
