@@ -294,6 +294,61 @@ def rebalance_by_source(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixing (the mT5/multilingual-sampling rule):
+    target share of source s ∝ count(s)^alpha — alpha < 1 flattens the
+    head toward uniform, alpha = 1 keeps the natural mix. Rates derive
+    from the counts IN-PLAN (no driver-side share dict, unlike
+    rebalance_by_source — a web corpus can have millions of sources):
+        rate(s) = min(1, count(s)^alpha / Σ_t count(t)^alpha · N / count(s))
+    applied by the same md5-threshold rule as sample_by_hash, so the
+    kept set is deterministic, engine-reproducible, and nests as alpha
+    rises toward 1. Downsample-only: tail sources keep everything.
+
+    One aggregation for counts, a 1-row broadcast for the normalizer,
+    a broadcast rates dim joined back (swap for a shuffle join if the
+    source dim outgrows executor memory) — the corpus is filtered in
+    place, never shuffled."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = docs.groupBy(source_col).agg(
+        F.count("*").alias("_cnt")
+    ).localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("_cnt").cast("double").alias("_N"),
+        F.sum(F.pow("_cnt", F.lit(float(alpha)))).alias("_S"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.pow("_cnt", F.lit(float(alpha)))
+                / F.col("_S")
+                * F.col("_N")
+                / F.col("_cnt"),
+            )
+            * F.lit(float(_HASH_SPACE))
+        ).alias("_threshold"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(h < F.col("_threshold"))
+        .drop("_threshold")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,

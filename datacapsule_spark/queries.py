@@ -736,6 +736,21 @@ def rebalance_docs_sources(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def curation_temperature_mix(spark, sf_dir):
+    """Temperature mixing at alpha = 0.5: head sources downsample
+    toward the flattened count^0.5 distribution, tail sources keep
+    everything — target shares computed IN-PLAN from the counts, then
+    the deterministic md5-threshold sampler (same hash family as
+    sample_docs_hash/rebalance, so the oracle recomputes membership
+    bit-for-bit)."""
+    from .operators.curation import temperature_mix
+
+    out = temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.5, salt="temp"
+    )
+    return out.select("doc_id", "source")
+
+
 def pack_docs_sequences(spark, sf_dir):
     """Training-batch packing plan: per source, docs binned into
     256-token concat-then-chunk sequences."""
@@ -1349,6 +1364,7 @@ QUERIES = {
     "text_bm25_index_topk": text_bm25_index_topk,
     "graph_kcore_cosupply": graph_kcore_cosupply,
     "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
+    "curation_temperature_mix": curation_temperature_mix,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2278,6 +2294,25 @@ rates AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
+"""
+)
+
+_o("curation_temperature_mix")(
+    """
+WITH counts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS n, sum(pow(cnt, 0.5)) AS s FROM counts
+),
+rates AS (
+  SELECT c.source,
+         floor(least(1.0, pow(c.cnt, 0.5) / tot.s * tot.n / c.cnt)
+               * 4294967296.0)::BIGINT AS thr
+  FROM counts c CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5('temp' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 """
 )
 

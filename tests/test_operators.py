@@ -813,6 +813,38 @@ class TestTraverse:
 
 
 class TestCuration:
+    def test_temperature_mix_properties(self, spark):
+        """alpha=1 is the identity mix (keeps everything); alpha=0
+        targets uniform (the head source downsamples toward N/k while
+        tails keep all); kept sets are deterministic and nest as alpha
+        rises toward 1 (same hash family, monotone thresholds)."""
+        from datacapsule_spark.operators.curation import temperature_mix
+
+        rows = [(i, "head") for i in range(800)] + [
+            (1000 + i, "tail_a") for i in range(50)
+        ] + [(2000 + i, "tail_b") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+
+        full = {r["doc_id"] for r in temperature_mix(df, alpha=1.0).collect()}
+        assert full == {r[0] for r in rows}
+
+        flat = temperature_mix(df, alpha=0.0).collect()
+        by_src = {}
+        for r in flat:
+            by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        # uniform target = 900/3 = 300 per source: tails keep all 50,
+        # head downsamples to ~300 (Bernoulli ±, generous band)
+        assert by_src["tail_a"] == 50 and by_src["tail_b"] == 50
+        assert 200 < by_src["head"] < 400
+
+        mid = {r["doc_id"] for r in temperature_mix(df, alpha=0.5).collect()}
+        low = {r["doc_id"] for r in temperature_mix(df, alpha=0.0).collect()}
+        assert low <= mid <= full  # nesting: thresholds monotone in alpha
+        again = {r["doc_id"] for r in temperature_mix(df, alpha=0.5).collect()}
+        assert again == mid  # deterministic
+        with pytest.raises(ValueError):
+            temperature_mix(df, alpha=-0.1)
+
     def test_boilerplate_strip(self, spark):
         from datacapsule_spark.operators.curation import boilerplate_strip
 
