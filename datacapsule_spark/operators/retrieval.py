@@ -41,16 +41,19 @@ def build_bm25_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _mode: str = "overwrite",
 ) -> None:
     """Materialize `<path>/postings` (bucket=<b>/ partitioned:
     tok, doc_id, tf), `<path>/doclens` (doc_id, dl), and
-    `<path>/stats` (n_docs, avgdl, n_buckets).
+    `<path>/stats` MERGEABLE partials (n_docs, sum_dl, n_buckets) —
+    one partial row per build/append batch, summed at query time.
 
     One explode + one (tok, doc_id) aggregation — the single wide pass
-    any inverted-index build pays; per-term df is NOT stored because
-    a query recomputes it from its own postings slice for free (one
-    partial agg over the rows it already reads), keeping the index
-    append-friendly."""
+    any inverted-index build pays. Nothing global is stored
+    NON-mergeably: per-term df is recomputed by each query from its
+    own postings slice (one partial agg over rows it already reads),
+    and the corpus constants are sum-mergeable partials — which is
+    what makes `append_bm25_index` a pure O(batch) append."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(_tokens(text_col), lambda t: t != "")).alias("tok"),
@@ -60,7 +63,7 @@ def build_bm25_index(
         .agg(F.count("*").alias("tf"))
         .withColumn("bucket", _bucket_col("tok", n_buckets))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+    postings.write.mode(_mode).partitionBy("bucket").parquet(
         f"{path}/postings"
     )
     doclens = docs.select(
@@ -69,11 +72,33 @@ def build_bm25_index(
         .cast("double")
         .alias("dl"),
     )
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    doclens.write.mode(_mode).parquet(f"{path}/doclens")
     doclens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode(_mode).parquet(
         f"{path}/stats"
+    )
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a batch of NEW documents into an existing index — O(batch)
+    I/O only: the batch's postings append into their bucket
+    partitions, its doclens append, and one stats partial row appends
+    (summed with the others at query time). Queries over the appended
+    index equal queries over an index built from scratch on the union
+    (pytest-pinned). Caller contract: doc_ids not already indexed —
+    re-indexing a changed doc needs a rebuild (or a delete log, the
+    vector_store pattern)."""
+    spark = new_docs.sparkSession
+    n_buckets = spark.read.parquet(f"{path}/stats").collect()[0]["n_buckets"]
+    build_bm25_index(
+        new_docs, path, n_buckets=n_buckets, text_col=text_col,
+        id_col=id_col, _mode="append",
     )
 
 
@@ -92,8 +117,17 @@ def bm25_index_topk(
     I/O for a bounded vocabulary slice."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    n, avgdl, n_buckets = stats["n_docs"], float(stats["avgdl"] or 1.0), stats["n_buckets"]
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+    n, n_buckets = stats["n"], stats["n_buckets"]
+    avgdl = float(stats["sum_dl"] or 0.0) / n if n else 1.0
     buckets = sorted({_bucket_py(t, n_buckets) for t in query_terms})
     # read twice (df agg + scoring) WITHOUT a checkpoint: both reads
     # are bucket-pruned postings-slice scans — re-reading the slice is

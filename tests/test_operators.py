@@ -472,6 +472,48 @@ class TestText:
             ]
             assert got == want, terms
 
+    def test_bm25_index_incremental_append(self, spark, tmp_path):
+        """append_bm25_index folds a new-doc batch in O(batch): the
+        appended index answers queries exactly like an index built
+        from scratch on the union (stats partials merge, per-term df
+        recomputed from postings) — and like the corpus scan."""
+        from datacapsule_spark.operators.retrieval import (
+            append_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+        )
+        from datacapsule_spark.operators.text import bm25_topk
+
+        part_a = [
+            (0, "spark join spark stream table"),
+            (1, "join join join row"),
+            (2, "table row scan sort"),
+        ]
+        part_b = [
+            (3, "stream"),
+            (4, "spark stream join spark spark"),
+        ]
+        schema = "doc_id long, text string"
+        dfa = spark.createDataFrame(part_a, schema)
+        dfb = spark.createDataFrame(part_b, schema)
+        both = spark.createDataFrame(part_a + part_b, schema)
+
+        inc = str(tmp_path / "inc_idx")
+        build_bm25_index(dfa, inc, n_buckets=8)
+        append_bm25_index(dfb, inc)
+        scratch = str(tmp_path / "scratch_idx")
+        build_bm25_index(both, scratch, n_buckets=8)
+
+        terms = ["spark", "join", "stream"]
+        rows = lambda p: [  # noqa: E731
+            (r["doc_id"], r["bm25"])
+            for r in bm25_index_topk(spark, p, terms, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], r["bm25"]) for r in bm25_topk(both, terms, k=10).collect()
+        ]
+        assert rows(inc) == rows(scratch) == want
+
     def test_chunk_documents_windows(self, spark):
         from datacapsule_spark.operators.text import chunk_documents
 
