@@ -751,6 +751,33 @@ def curation_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def curation_pipeline_docs(spark, sf_dir):
+    """The COMPOSED curation flow end-to-end, gated as one query —
+    exact dedup (keep min id per content) → benchmark holdout split
+    (doc_id % 97) → Gopher quality gate → 3-gram decontamination vs
+    the holdout → deterministic train/val/test assignment. Each stage
+    is individually oracle-gated elsewhere; this entry witnesses that
+    they COMPOSE (column contracts, filter ordering, id threading)
+    exactly as a production pipeline would chain them. Output:
+    (doc_id, source, split) of the cleaned training corpus."""
+    from .operators.curation import assign_splits, decontaminate, gopher_quality
+    from .operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    surv = d.join(keep, "doc_id", "left_semi")
+    bench = surv.where(F.col("doc_id") % 97 == 0)
+    train = surv.where(F.col("doc_id") % 97 != 0)
+    gq = (
+        gopher_quality(train).where(F.col("passes_gopher")).select("doc_id")
+    )
+    train_q = train.join(gq, "doc_id", "left_semi")
+    dec = decontaminate(train_q, bench, shingle_n=3, min_hits=1)
+    clean = dec.where(~F.col("contaminated")).select("doc_id")
+    out = train_q.join(clean, "doc_id", "left_semi").select("doc_id", "source")
+    return assign_splits(out, "doc_id", salt="sp")
+
+
 def pack_docs_sequences(spark, sf_dir):
     """Training-batch packing plan: per source, docs binned into
     256-token concat-then-chunk sequences."""
@@ -1365,6 +1392,7 @@ QUERIES = {
     "graph_kcore_cosupply": graph_kcore_cosupply,
     "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
     "curation_temperature_mix": curation_temperature_mix,
+    "curation_pipeline_docs": curation_pipeline_docs,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2294,6 +2322,68 @@ rates AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
+"""
+)
+
+_o("curation_pipeline_docs")(
+    # stage-by-stage SQL twin of the composed chain; each block
+    # mirrors its operator's individually-gated oracle (dedup keep /
+    # gopher / decontaminate / split)
+    """
+WITH surv AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+),
+toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS sym
+  FROM surv WHERE doc_id % 97 <> 0
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1
+), gq AS (
+  SELECT k.doc_id, k.source FROM toks k LEFT JOIN top ON k.doc_id = top.doc_id
+  WHERE list_aggregate(list_transform(k.t, x -> len(x)), 'sum')
+          / greatest(len(k.t), 1) BETWEEN 3.0 AND 10.0
+    AND k.sym / greatest(k.n_chars, 1) < 0.1
+    AND len(list_distinct(k.t)) / greatest(len(k.t), 1) >= 0.2
+    AND coalesce(top.topc / top.nbg, 0.0) < 0.2
+),
+dtoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM surv
+), dsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM dtoks
+), bench AS (
+  SELECT list_distinct(flatten(list(grams))) AS bgr
+  FROM dsh WHERE doc_id % 97 = 0
+),
+clean AS (
+  SELECT g.doc_id, g.source
+  FROM gq g JOIN dsh s ON g.doc_id = s.doc_id CROSS JOIN bench b
+  WHERE len(list_intersect(s.grams, b.bgr)) < 1
+)
+SELECT doc_id, source,
+       CASE WHEN h < 3865470566 THEN 'train'
+            WHEN h < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('sp' || doc_id::VARCHAR), 1, 8))::UBIGINT AS h
+  FROM clean
+)
 """
 )
 
