@@ -305,6 +305,24 @@ def test_bm25_index_prunes_bucket_partitions(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_funnel_no_window_over_stream(spark):
+    """funnel_counts must stay k bounded user-keyed aggregations —
+    never a Window over the full event stream and never a sort-merge
+    join (frontiers are small: broadcast)."""
+    r = explain_report(QUERIES["events_funnel"](spark, SF))
+    assert "Window" not in r.text, r.text
+    assert r.cartesian_products == 0, r.text
+
+
+def test_temperature_mix_broadcast_rates(spark):
+    """temperature_mix filters the corpus in place: the per-source
+    rates dim joins back via BroadcastExchange; the corpus itself is
+    never exchanged for the join (no sort-merge join)."""
+    r = explain_report(QUERIES["curation_temperature_mix"](spark, SF))
+    assert "BroadcastExchange" in r.text, r.text
+    assert r.sort_merge_joins == 0, r.text
+
+
 def test_corpus_balance_broadcasts_total(spark):
     """The corpus total joins back as a BROADCAST 1-row aggregate (a
     keyless cross join compiles to BroadcastNestedLoopJoin of the
