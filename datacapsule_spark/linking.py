@@ -123,7 +123,11 @@ def lsh_alias_pairs(
         ).drop("ga", "gb")
         return rescored.where(F.col("score") >= min_rescore)
 
-    # TF-IDF cosine: idf from the name dictionary's gram dfs
+    # TF-IDF cosine: idf from the name dictionary's gram dfs.
+    # grams feeds the count, the idf agg, the norms, and (via pairs)
+    # the LSH join; idf feeds norms and dots — checkpoint both so the
+    # normalize+shingle pipeline runs once, not ~4 times
+    grams = grams.localCheckpoint(eager=False)
     n_names = grams.count()
     idf = (
         grams.select(F.explode("grams").alias("g"))
@@ -133,6 +137,7 @@ def lsh_alias_pairs(
             "idf", F.log((F.lit(float(n_names)) + 1) / (F.col("df") + 1)) + 1
         )
         .select("g", "idf")
+        .localCheckpoint(eager=False)
     )
     norms = (
         grams.select(F.col("name"), F.explode("grams").alias("g"))
@@ -140,6 +145,10 @@ def lsh_alias_pairs(
         .groupBy("name")
         .agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("nrm"))
     )
+    # LEFT join + coalesce keeps zero-intersection candidates at
+    # score 0 — same pair set as the jaccard branch for any
+    # min_rescore (an empty intersection must not silently drop the
+    # pair before the score filter)
     dots = (
         pairs.select(
             "a", "b", F.explode(F.array_intersect("ga", "gb")).alias("g")
@@ -148,13 +157,19 @@ def lsh_alias_pairs(
         .groupBy("a", "b")
         .agg(F.sum(F.col("idf") * F.col("idf")).alias("dot"))
     )
+    base = pairs.select("a", "b")
     na = norms.select(F.col("name").alias("a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("name").alias("b"), F.col("nrm").alias("nb"))
     rescored = (
-        dots.join(na, "a")
+        base.join(dots, ["a", "b"], "left")
+        .join(na, "a")
         .join(nb, "b")
         .select(
-            "a", "b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("score")
+            "a",
+            "b",
+            (
+                F.coalesce("dot", F.lit(0.0)) / (F.col("na") * F.col("nb"))
+            ).alias("score"),
         )
     )
     return rescored.where(F.col("score") >= min_rescore)

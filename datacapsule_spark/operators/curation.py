@@ -317,7 +317,12 @@ def temperature_mix(
     place, never shuffled."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = docs.groupBy(source_col).agg(
+    # NULL sources form their own group: the rates equi-join would
+    # silently drop them (NULL never equals NULL), so group and join
+    # on a coalesced key instead
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit(" <null>"))
+    docs_k = docs.withColumn("_srckey", skey)
+    counts = docs_k.groupBy("_srckey").agg(
         F.count("*").alias("_cnt")
     ).localCheckpoint(eager=True)
     tot = counts.agg(
@@ -325,7 +330,7 @@ def temperature_mix(
         F.sum(F.pow("_cnt", F.lit(float(alpha)))).alias("_S"),
     )
     rates = counts.crossJoin(F.broadcast(tot)).select(
-        source_col,
+        "_srckey",
         F.floor(
             F.least(
                 F.lit(1.0),
@@ -343,9 +348,9 @@ def temperature_mix(
         10,
     ).cast("bigint")
     return (
-        docs.join(F.broadcast(rates), source_col)
+        docs_k.join(F.broadcast(rates), "_srckey")
         .where(h < F.col("_threshold"))
-        .drop("_threshold")
+        .drop("_threshold", "_srckey")
     )
 
 

@@ -81,11 +81,13 @@ def k_core(
 
     Per round: one degree aggregation over the surviving undirected
     edge set, one semi-join filter of edges on surviving endpoints,
-    eager localCheckpoint to truncate lineage. Rounds needed =
-    peeling depth (typically << node count); the loop exits as soon
-    as a round removes nothing (1-row count check, the same bounded
-    per-round driver action as BFS/PageRank). Returns (node).
-    """
+    eager localCheckpoint to truncate lineage; one count job per
+    round (the post-filter count doubles as the next round's
+    pre-count). The loop exits when a round removes nothing. Peeling
+    depth is O(diameter) on typical graphs but O(n) on path-like
+    chains, so a non-converged loop RAISES instead of silently
+    returning a non-core superset — raise max_iter for pathological
+    chains. Returns (node)."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -95,9 +97,10 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        n_edges = e.count()
-        if n_edges == 0:
+        if converged:
             break
         deg = (
             e.select(F.col("u").alias("node"))
@@ -112,10 +115,14 @@ def k_core(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        if e2.count() == n_edges:  # stable: every survivor kept
-            e = e2
-            break
-        e = e2
+        n2 = e2.count()
+        converged = n2 == n_edges or n2 == 0
+        e, n_edges = e2, n2
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} rounds (path-like "
+            f"graphs peel one layer per round); raise max_iter"
+        )
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

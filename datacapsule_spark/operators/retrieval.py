@@ -117,6 +117,9 @@ def bm25_index_topk(
     I/O for a bounded vocabulary slice."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # term-set semantics, same as text.bm25_topk (duplicate literals
+    # would also trip Spark's duplicate-map-key EXCEPTION policy)
+    query_terms = list(dict.fromkeys(query_terms))
     stats = (
         spark.read.parquet(f"{path}/stats")
         .agg(

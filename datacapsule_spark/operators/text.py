@@ -239,6 +239,9 @@ def bm25_topk(
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # a query is a term SET here: duplicates would double-count a
+    # term's contribution (and crash the index path's literal map)
+    query_terms = list(dict.fromkeys(query_terms))
     toks = F.filter(_tokens(text_col), lambda t: t != "")
 
     def _match(term):

@@ -999,11 +999,20 @@ def text_bm25_index_topk(spark, sf_dir):
     partitions (PartitionFilters plan-tested). Same formula as
     text_bm25_topk, so the oracle is the same SQL twin with this
     query's terms — the driver row witnesses build → prune → score."""
+    import hashlib
+    import os
     import tempfile
 
     from .operators.retrieval import bm25_index_topk, build_bm25_index
 
-    idx = tempfile.mkdtemp(prefix="bm25_gate_idx_")
+    # FIXED path per sf_dir (overwritten each run) — mkdtemp here
+    # would leak one full index per gate/bench invocation, and the
+    # returned DataFrame must keep reading the files lazily so the
+    # dir cannot be deleted before the driver collects
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"bm25_gate_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     build_bm25_index(_docs(spark, sf_dir), idx, n_buckets=16)
     return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
 

@@ -188,7 +188,7 @@ def cosine_topk_batch(
     scored = pairs.withColumn(
         "sim",
         _cosine_expr("embedding", "qvec"),
-    )
+    ).where(F.col("sim").isNotNull())  # zero vectors: NULL sim, as cosine_topk drops
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -245,7 +245,10 @@ def ivf_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
     c = np.asarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    # stable sort: equal centroid sims tie-break by list id, the same
+    # rule ivf_topk_batch's window uses — keeps the two paths
+    # probe-equivalent even with duplicate centroids
+    probe = np.argsort(-(cn @ qn), kind="stable")[:n_probe].tolist()
     cand = indexed.where(F.col("list_id").isin(probe)).drop("list_id")
     return cosine_topk(cand, query_vec, k=k)
 
@@ -304,8 +307,12 @@ def ivf_topk_batch(
     cand = indexed.where(F.col("list_id").isin(probed_lists)).join(
         F.broadcast(probes), "list_id"
     )
-    scored = cand.join(F.broadcast(queries), "query_id").withColumn(
-        "sim", _cosine_expr(vec_col, "qvec")
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .withColumn("sim", _cosine_expr(vec_col, "qvec"))
+        # zero-vector candidates score NULL; the per-query ivf_topk
+        # path drops them via cosine_topk's threshold — match it
+        .where(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (

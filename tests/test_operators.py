@@ -440,6 +440,11 @@ class TestText:
         assert len(bm25_topk(df, terms, k=2).collect()) == 2
         with pytest.raises(ValueError):
             bm25_topk(df, [], k=2)
+        # term-SET semantics: a duplicated term neither double-counts
+        # nor changes the result (review finding)
+        dup = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, ["spark", "spark"], k=10).collect()]
+        one = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, ["spark"], k=10).collect()]
+        assert dup == one
 
     def test_bm25_index_equals_corpus_scan(self, spark, tmp_path):
         """The inverted-index path returns exactly the corpus-scan
@@ -886,6 +891,14 @@ class TestCuration:
         assert again == mid  # deterministic
         with pytest.raises(ValueError):
             temperature_mix(df, alpha=-0.1)
+        # NULL sources form their own group and are NOT silently
+        # dropped by the rates join (review finding)
+        withnull = spark.createDataFrame(
+            [(1, "s"), (2, None), (3, None)], "doc_id long, source string"
+        )
+        kept = temperature_mix(withnull, alpha=1.0).collect()
+        assert {r["doc_id"] for r in kept} == {1, 2, 3}
+        assert {r["source"] for r in kept} == {"s", None}
 
     def test_boilerplate_strip(self, spark):
         from datacapsule_spark.operators.curation import boilerplate_strip
@@ -1346,6 +1359,15 @@ class TestGraphStats:
             [(0, 1), (0, 2), (1, 3), (1, 4)], "a long, b long"
         )
         assert k_core(tree, k=2).count() == 0
+        # path graph: peeling depth is O(n) (two endpoints per round)
+        # — an insufficient max_iter must RAISE, never return the
+        # unpeeled remainder as a fake core (review finding)
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "a long, b long"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            k_core(chain, k=2, max_iter=3)
+        assert k_core(chain, k=2, max_iter=50).count() == 0
 
     def test_pack_sequences(self, spark):
         from datacapsule_spark.operators.curation import pack_sequences
