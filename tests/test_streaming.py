@@ -226,3 +226,97 @@ def test_streaming_pii_redaction_equals_batch(spark, tmp_path):
         for r in redact_pii(batch).collect()
     }
     assert got == want and got[3] == ("clean", 0)
+
+
+def test_funnel_prune_preserves_greedy_under_any_arrival_order():
+    """Pure-Python core: accumulating random event batches with the
+    state's prune rule yields the same final greedy depth/frontier as
+    one-shot greedy over the full set — i.e. pruning is safe under
+    arbitrary in-watermark lateness."""
+    import random
+
+    from datacapsule_spark.streaming.funnel_stream import _prune, greedy_depth
+
+    for seed in range(30):
+        rng = random.Random(seed)
+        full = [
+            [rng.randint(0, 20) for _ in range(rng.randint(0, 6))]
+            for _ in range(3)
+        ]
+        flat = [(i, t) for i, lst in enumerate(full) for t in lst]
+        rng.shuffle(flat)  # arrival order unrelated to event time
+        state = [[] for _ in range(3)]
+        while flat:
+            take = rng.randint(1, max(1, len(flat) // 2))
+            batch, flat = flat[:take], flat[take:]
+            for i, t in batch:
+                state[i].append(t)
+            state = _prune(state)
+        assert greedy_depth(state) == greedy_depth(full), seed
+
+
+def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
+    """The stateful streaming funnel's emitted depths equal the batch
+    operator's counts for every user whose state timed out before
+    stream end (watermark = max ts - 10s, horizon 5s — every user
+    whose last relevant event is older than ~15s closes)."""
+    import pandas as pd
+
+    from datacapsule_spark.operators.funnel import funnel_counts
+    from datacapsule_spark.streaming.funnel_stream import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 25)
+        .select("ts", "user_id", "event_type")
+    )
+    src = str(tmp_path / "funnel_in")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_funnel(stream, steps, horizon_s=5.0, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: r["depth"]
+        for r in spark.sql("select * from funnel_mem").collect()
+    }
+
+    # batch oracle: per-user greedy depth over the same events, for
+    # users whose last STEP event precedes the end-of-stream closure
+    pdf = events.where(F.col("event_type").isin(steps)).toPandas()
+    wm_ms = int(pd.Timestamp(pdf["ts"].max()).value // 10**6) - 10_000
+    from datacapsule_spark.streaming.funnel_stream import greedy_depth
+
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        times = [[] for _ in steps]
+        last = 0
+        for t, typ in zip(grp["ts"], grp["event_type"]):
+            ms = int(pd.Timestamp(t).value // 10**6)
+            times[steps.index(typ)].append(ms)
+            last = max(last, ms)
+        if wm_ms > last + 5_000:  # timeout fired before stream end
+            want[uid] = greedy_depth(times)[0]
+    assert got == want
+    assert len(got) > 0
+    # cross-check totals against the batch DataFrame operator on the
+    # closed-user subset
+    closed = events.join(
+        spark.createDataFrame([(u,) for u in want], "user_id long"),
+        "user_id",
+        "left_semi",
+    )
+    batch = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(closed, steps).collect()
+    }
+    for i in range(3):
+        assert batch.get(i, 0) == sum(1 for d in want.values() if d > i)
