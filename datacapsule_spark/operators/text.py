@@ -209,6 +209,55 @@ def token_stats(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality proxy, self-trained: a Laplace-smoothed
+    bigram language model estimated ON the corpus itself scores each
+    document's average bigram log-probability —
+        lnP(w2|w1) = ln((c(w1 w2) + 1) / (c(w1 ·) + V))
+    (V = corpus vocabulary size, c(w1 ·) = bigram occurrences starting
+    w1). Low avg_logprob ≈ high perplexity ≈ unusual/garbled text —
+    the main quality dimension of CCNet's filtering, without any
+    external model artifact. Deterministic, engine-reproducible.
+
+    Scale shape: one bigram expansion feeds both the global count
+    tables and the per-doc scoring rows; the scoring join keys on the
+    bigram (then its context token) — corpus-derived LM tables are
+    corpus-sized, so these are shuffle joins by design, never
+    broadcasts. V is a 1-row driver scalar. Returns (doc_id,
+    n_bigrams, avg_logprob) for docs with >= 1 bigram.
+    """
+    from .dedup import shingle_rows
+
+    bg = shingle_rows(docs, text_col, id_col, n=2, distinct=False)
+    bg = bg.withColumn("w1", F.split(F.col("g"), " ")[0]).localCheckpoint(
+        eager=False
+    )  # counts + contexts + scoring all read it
+    v = (
+        docs.select(F.explode(_tokens(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .select(F.countDistinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    bg_counts = bg.groupBy("g").agg(F.count("*").alias("c_bg"))
+    ctx_counts = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    lp = F.log(
+        (F.col("c_bg") + 1) / (F.col("c_ctx") + F.lit(float(v)))
+    )
+    return (
+        bg.join(bg_counts, "g")
+        .join(ctx_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -1017,6 +1017,17 @@ def text_bm25_index_topk(spark, sf_dir):
     return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
 
 
+def text_lm_perplexity(spark, sf_dir):
+    """Self-trained bigram-LM quality proxy (operators/text.lm_score):
+    per-doc average Laplace-smoothed bigram log-probability under the
+    corpus's own LM — CCNet's perplexity dimension without an external
+    model artifact. Oracle recomputes the identical counts and
+    formula."""
+    from .operators.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def dedup_containment_docs(spark, sf_dir):
     """Substring-containment pairs: complete rarest-shingle blocking +
     exact contains() verify — output IS the containment relation over
@@ -1402,6 +1413,7 @@ QUERIES = {
     "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
     "curation_temperature_mix": curation_temperature_mix,
     "curation_pipeline_docs": curation_pipeline_docs,
+    "text_lm_perplexity": text_lm_perplexity,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2331,6 +2343,36 @@ rates AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
+"""
+)
+
+_o("text_lm_perplexity")(
+    # same tokenizer as the Spark shingle path (no empty filtering —
+    # bigram rows mirror shingle_rows), Laplace bigram LM self-trained
+    # on the corpus; DuckDB '/' is float division, matching Spark
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), bgw AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM toks
+  )
+), bgc AS (
+  SELECT g, count(*) AS c_bg FROM bgw GROUP BY g
+), ctx AS (
+  SELECT w1, count(*) AS c_ctx FROM bgw GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT tt) AS v
+  FROM (SELECT unnest(t) AS tt FROM toks) WHERE tt <> ''
+)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((c.c_bg + 1) / (x.c_ctx + v.v))), 6) AS avg_logprob
+FROM bgw b JOIN bgc c ON b.g = c.g JOIN ctx x ON b.w1 = x.w1 CROSS JOIN v
+GROUP BY b.doc_id
 """
 )
 

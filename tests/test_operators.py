@@ -477,6 +477,28 @@ class TestText:
             ]
             assert got == want, terms
 
+    def test_lm_score_hand_computed(self, spark):
+        """Laplace bigram LM on a 2-doc corpus, checked against hand
+        arithmetic: V=2, c(a b)=2, c(b a)=1, c(a·)=2, c(b·)=1."""
+        import math
+
+        from datacapsule_spark.operators.text import lm_score
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a b"), (3, "x")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in lm_score(df).collect()}
+        v = 3  # vocabulary {a, b, x}
+        lp_ab = math.log((2 + 1) / (2 + v))
+        lp_ba = math.log((1 + 1) / (1 + v))
+        assert set(got) == {1, 2}  # doc 3 has no bigram
+        assert got[1]["n_bigrams"] == 2
+        assert got[1]["avg_logprob"] == pytest.approx(
+            round((lp_ab + lp_ba) / 2, 6), abs=1e-6
+        )
+        assert got[2]["n_bigrams"] == 1
+        assert got[2]["avg_logprob"] == pytest.approx(round(lp_ab, 6), abs=1e-6)
+
     def test_bm25_index_incremental_append(self, spark, tmp_path):
         """append_bm25_index folds a new-doc batch in O(batch): the
         appended index answers queries exactly like an index built
