@@ -1,25 +1,37 @@
 """Custom stateful streaming operator #2: ordered-funnel depth per
 user via applyInPandasWithState (§2.10 breadth, like sessionize.py).
 
-Semantics match operators/funnel.py exactly: a user's depth is the
-longest prefix of `steps` present as a strictly-increasing-timestamp
-subsequence of their events. A row (user_id, depth, reached_ts) is
+SESSIONIZED funnel semantics: within one activity span, a user's
+depth is the longest prefix of `steps` present as a strictly-
+increasing-timestamp subsequence of their events — exactly
+operators/funnel.py's rule. A row (user_id, depth, reached_ts) is
 emitted once the event-time watermark passes the user's last relevant
-event + horizon — i.e. when no in-watermark late event can still
-change the answer.
+event + horizon_s; the state is then cleared, so a user who reappears
+AFTER such a gap starts a fresh funnel and emits again (one row per
+activity span, like sessionize emits one row per session). The batch
+operator is the infinite-horizon case: streaming == batch exactly
+when each user's relevant events fall within one horizon-bounded span
+(the shape the equivalence pytest pins); across spans the streaming
+answer is per-span by design, not a bug.
 
 Late-data correctness is the interesting part: the greedy frontier is
 ORDER-SENSITIVE — a late event with an early timestamp can lower an
 earlier step's frontier and unlock matches the already-advanced state
 had rejected. The state therefore keeps, per step, the sorted
 candidate times (not just the running frontier), re-running the
-greedy on every batch. The lists are pruned with the one rule that is
-safe under arbitrary in-watermark lateness: once the greedy CHOOSES
-time f_i for step i, any candidate > f_i for that step can never be
-chosen later (earlier frontiers only ever move DOWN as new events
-arrive, so each step's viable region only grows downward and min()
-only decreases) — so lists stay bounded by the churn below the
-frontier, not the event count.
+greedy on every batch. Two prune rules, both safe under arbitrary
+in-watermark lateness:
+
+1. once the greedy CHOOSES time f_i for step i, any candidate > f_i
+   for that step can never be chosen later (earlier frontiers only
+   ever move DOWN as new events arrive, so each step's viable region
+   only grows downward and min() only decreases);
+2. at steps AFTER the first EMPTY step, candidates <= the current
+   watermark can never be chosen: the empty step can only be filled
+   by a future event, future events carry ts >= watermark, and the
+   later step's chosen time must strictly exceed that ts. This bounds
+   state for users doing later steps without the first one (endless
+   clicks, no view), which rule 1 alone would keep forever.
 
 `greedy_depth` is the shared pure-Python core (state update AND the
 pytest oracle), mirroring the extractor's shared-module pattern.
@@ -73,20 +85,23 @@ def greedy_depth(times: list[list[int]]) -> tuple[int, int | None]:
     return depth, t
 
 
-def _prune(times: list[list[int]]) -> list[list[int]]:
-    """Keep each step's candidates that could still be chosen: all
-    candidates <= the step's currently chosen frontier (chosen values
-    only decrease as earlier frontiers decrease); unreached steps keep
-    everything."""
+def _prune(
+    times: list[list[int]], wm_ms: int | None = None
+) -> list[list[int]]:
+    """Keep each step's candidates that could still be chosen (module
+    docstring rules 1 and 2). wm_ms is the current event-time
+    watermark; None disables rule 2 (kept permissive for tests)."""
     t = None
     broken = False
+    seen_empty = False
     out = []
     for cand in times:
         cand = sorted(set(cand))
         if broken:
-            # past the first unreached step nothing is choosable YET —
-            # any candidate may become viable when earlier frontiers
-            # improve, so keep everything
+            if seen_empty and wm_ms is not None:
+                # rule 2: choosable only via a future (>= wm) event at
+                # the empty step, so anything <= wm is dead weight
+                cand = [x for x in cand if x > wm_ms]
             out.append(cand)
             continue
         viable = [x for x in cand if t is None or x > t]
@@ -97,6 +112,7 @@ def _prune(times: list[list[int]]) -> list[list[int]]:
         else:
             out.append(cand)
             broken = True
+            seen_empty = not cand
     return out
 
 
@@ -143,7 +159,11 @@ def streaming_funnel(
                 ms = int(pd.Timestamp(ts).value // 10**6)
                 times[step_idx[typ]].append(ms)
                 last_ms = max(last_ms, ms)
-        times = _prune(times)
+        try:
+            wm = state.getCurrentWatermarkMs()
+        except Exception:  # no watermark configured
+            wm = None
+        times = _prune(times, wm_ms=wm if wm else None)
         state.update((times, int(last_ms)))
         state.setTimeoutTimestamp(int(last_ms) + int(horizon_s * 1000))
 

@@ -254,6 +254,38 @@ def test_funnel_prune_preserves_greedy_under_any_arrival_order():
             state = _prune(state)
         assert greedy_depth(state) == greedy_depth(full), seed
 
+    # rule 2 (watermark prune at steps past the first empty step):
+    # arrivals respect the watermark (events sorted by ts with bounded
+    # disorder; wm = max seen - delay), final greedy unchanged
+    for seed in range(30):
+        rng = random.Random(1000 + seed)
+        full = [
+            [rng.randint(0, 40) for _ in range(rng.randint(0, 6))]
+            for _ in range(3)
+        ]
+        flat = sorted(
+            ((i, t) for i, lst in enumerate(full) for t in lst),
+            key=lambda it: it[1] + rng.randint(0, 5),  # bounded disorder
+        )
+        state = [[] for _ in range(3)]
+        seen_max = 0
+        while flat:
+            take = rng.randint(1, max(1, len(flat) // 2))
+            batch, flat = flat[:take], flat[take:]
+            for i, t in batch:
+                state[i].append(t)
+                seen_max = max(seen_max, t)
+            state = _prune(state, wm_ms=seen_max - 6)  # delay > disorder
+        assert greedy_depth(state) == greedy_depth(full), seed
+
+    # rule 2 bounds the broken-chain state: endless step-1 events with
+    # no step-0 event must not accumulate
+    state = [[], [], []]
+    for t in range(0, 1000):
+        state[1].append(t)
+        state = _prune(state, wm_ms=t - 10)
+    assert len(state[1]) <= 12
+
 
 def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
     """The stateful streaming funnel's emitted depths equal the batch
@@ -284,10 +316,11 @@ def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    got = {
-        r["user_id"]: r["depth"]
-        for r in spark.sql("select * from funnel_mem").collect()
-    }
+    rows = spark.sql("select * from funnel_mem").collect()
+    got = {r["user_id"]: r["depth"] for r in rows}
+    # one emission per user in this single-activity-span dataset — a
+    # dict would silently mask duplicate emissions otherwise
+    assert len(rows) == len(got)
 
     # batch oracle: per-user greedy depth over the same events, for
     # users whose last STEP event precedes the end-of-stream closure
