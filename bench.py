@@ -47,6 +47,7 @@ HEADLINE = [
     "graph_kcore_cosupply",
     "text_bm25_topk",
     "events_funnel",
+    "text_lm_perplexity",
 ]
 
 
