@@ -65,3 +65,58 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def funnel_user_depths(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel table → (user_id, depth, reached_ts): the row
+    form behind funnel_counts (same greedy frontier chain, same
+    semantics as the streaming operator's per-span emission). Users
+    with no step-0 event do not appear (depth ≥ 1); reached_ts is the
+    frontier time of the deepest step reached. Same scale shape as
+    funnel_counts: k bounded user-keyed aggregations, no full-stream
+    window."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frontier = None
+    frontiers = []
+    for i, s in enumerate(steps):
+        ev = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if frontier is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias(f"_t{i}"))
+        else:
+            cur = (
+                ev.join(frontier, "_u")
+                .where(F.col("_ts") > F.col(f"_t{i - 1}"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias(f"_t{i}"))
+            )
+        frontier = cur.localCheckpoint(eager=False)
+        frontiers.append(frontier)
+    out = frontiers[0]
+    for i in range(1, len(steps)):
+        out = out.join(frontiers[i], "_u", "left")
+    depth = None
+    reached = None
+    for i in reversed(range(len(steps))):
+        c = F.col(f"_t{i}").isNotNull()
+        depth = (
+            F.when(c, F.lit(i + 1)) if depth is None else depth.when(c, i + 1)
+        )
+        reached = (
+            F.when(c, F.col(f"_t{i}"))
+            if reached is None
+            else reached.when(c, F.col(f"_t{i}"))
+        )
+    return out.select(
+        F.col("_u").alias(user_col),
+        depth.cast("int").alias("depth"),
+        reached.alias("reached_ts"),
+    )

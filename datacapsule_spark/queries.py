@@ -397,6 +397,18 @@ def events_funnel(spark, sf_dir):
     )
 
 
+def events_funnel_users(spark, sf_dir):
+    """Per-user funnel table (operators/funnel.funnel_user_depths):
+    each user's depth and deepest-step frontier time for
+    view → click → purchase — the row form behind events_funnel's
+    counts and the batch twin of the streaming funnel's emission."""
+    from .operators.funnel import funnel_user_depths
+
+    return funnel_user_depths(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def user_event_sequences(spark, sf_dir):
     """Per-user ordered event-type sequence (sessionization precursor):
     sort_array over collected (ts, type) structs → concat for
@@ -1414,6 +1426,7 @@ QUERIES = {
     "curation_temperature_mix": curation_temperature_mix,
     "curation_pipeline_docs": curation_pipeline_docs,
     "text_lm_perplexity": text_lm_perplexity,
+    "events_funnel_users": events_funnel_users,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2276,6 +2289,31 @@ UNION ALL
 SELECT 1::INTEGER, 'click', (SELECT count(*) FROM u2)::BIGINT
 UNION ALL
 SELECT 2::INTEGER, 'purchase', (SELECT count(*) FROM u3)::BIGINT
+"""
+)
+
+_o("events_funnel_users")(
+    """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY e.user_id
+)
+SELECT u1.user_id,
+       (CASE WHEN u3.t IS NOT NULL THEN 3
+             WHEN u2.t IS NOT NULL THEN 2
+             ELSE 1 END)::INTEGER AS depth,
+       coalesce(u3.t, u2.t, u1.t) AS reached_ts
+FROM u1
+LEFT JOIN u2 ON u1.user_id = u2.user_id
+LEFT JOIN u3 ON u1.user_id = u3.user_id
 """
 )
 
