@@ -212,6 +212,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    signatures_a: DataFrame,
+    signatures_b: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Two-corpus banded LSH: candidate pairs only ACROSS the corpora
+    (a from A, b from B) — a unioned self-join would also pay for the
+    A×A and B×B candidate volume, which at train-vs-eval scale (huge A,
+    small B) is almost all of the work for none of the answer. Same
+    banding/shuffle key as minhash_lsh_pairs; both signature sets must
+    come from minhash_signatures with identical n_hashes/hash_fn.
+    Caller contract: id domains are disjoint (pairs are emitted
+    without an ordering constraint)."""
+    def band_rows(sigs):
+        def band_hash(b):
+            elems = [
+                F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ]
+            if hash_fn == "md5":
+                return F.md5(F.concat_ws("|", *elems))
+            if hash_fn == "xxhash64":
+                return F.xxhash64(*elems)
+            raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+        return sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[band_hash(b) for b in range(n_bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+
+    left = band_rows(signatures_a).alias("l")
+    right = band_rows(signatures_b).alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def cross_corpus_near_pairs(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Doc-level train-vs-eval near-duplicate screening: MinHash-LSH
+    candidates ACROSS two corpora, exact n-gram Jaccard re-score →
+    (a, b, jaccard) with a from docs_a, b from docs_b. The doc-level
+    complement of curation.decontaminate's gram-level overlap — finds
+    eval documents that exist in the training set as whole near-copies
+    rather than quoted fragments. Never all-pairs: candidates exist
+    only where a band collides across the corpora."""
+    sa = minhash_signatures(docs_a, text_col, id_col, n_hashes, shingle_n, hash_fn)
+    sb = minhash_signatures(docs_b, text_col, id_col, n_hashes, shingle_n, hash_fn)
+    cand = minhash_lsh_pairs_cross(sa, sb, n_bands, rows_per_band, hash_fn)
+    gr_a = (
+        with_shingles(docs_a, text_col, shingle_n, id_col=id_col)
+        .select(F.col(id_col).alias("a"), F.col("grams").alias("sha"))
+    )
+    gr_b = (
+        with_shingles(docs_b, text_col, shingle_n, id_col=id_col)
+        .select(F.col(id_col).alias("b"), F.col("grams").alias("shb"))
+    )
+    return (
+        cand.join(gr_a, "a")
+        .join(gr_b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

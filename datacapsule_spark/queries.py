@@ -1029,6 +1029,25 @@ def text_bm25_index_topk(spark, sf_dir):
     return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
 
 
+def dedup_cross_corpus_docs(spark, sf_dir):
+    """Doc-level train-vs-eval near-dup screening (operators/dedup.
+    cross_corpus_near_pairs): MinHash-LSH candidates ACROSS two
+    corpora (even doc_ids as 'eval', odd as 'train' — the split that
+    crosses the corpus's planted near-twins), exact Jaccard re-score
+    at 0.5. The oracle replicates the banding itself (md5 signatures +
+    band hashes, both sides), so the driver gates the production LSH
+    shape, not a brute-force stand-in."""
+    from .operators.dedup import cross_corpus_near_pairs
+
+    d = _docs(spark, sf_dir)
+    out = cross_corpus_near_pairs(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        min_jaccard=0.5,
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def text_lm_perplexity(spark, sf_dir):
     """Self-trained bigram-LM quality proxy (operators/text.lm_score):
     per-doc average Laplace-smoothed bigram log-probability under the
@@ -1427,6 +1446,7 @@ QUERIES = {
     "curation_pipeline_docs": curation_pipeline_docs,
     "text_lm_perplexity": text_lm_perplexity,
     "events_funnel_users": events_funnel_users,
+    "dedup_cross_corpus_docs": dedup_cross_corpus_docs,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2381,6 +2401,45 @@ rates AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
+"""
+)
+
+_o("dedup_cross_corpus_docs")(
+    # full banding replica, two-sided: md5 minhash signatures and band
+    # hashes for each side, candidates only across sides, exact
+    # Jaccard re-score — the deterministic twin of the production LSH
+    # shape (same idiom as dedup_lsh_jaccard_docs, split in two)
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           k -> list_min(list_transform(grams, g -> md5(k || ':' || g)))) AS s
+  FROM sh WHERE len(grams) > 0
+), bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(s[b*4+1] || '|' || s[b*4+2] || '|' || s[b*4+3] || '|' || s[b*4+4])
+           AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+)
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.grams, sb.grams))::DOUBLE /
+             len(list_distinct(list_concat(sa.grams, sb.grams))), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE /
+      len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.5
 """
 )
 

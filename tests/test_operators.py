@@ -185,6 +185,43 @@ class TestDedup:
         recall = len(bucketed & exact) / len(exact)
         assert recall >= 0.95, f"bucketed recall {recall:.3f} on {len(exact)} pairs"
 
+    def test_cross_corpus_near_pairs(self, spark):
+        """Cross-corpus MinHash screening: a planted near-twin ACROSS
+        corpora is found with its exact Jaccard; identical docs WITHIN
+        one corpus are never emitted (cross pairs only); unrelated
+        docs don't pair."""
+        from datacapsule_spark.operators.dedup import cross_corpus_near_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        train = spark.createDataFrame(
+            [
+                (1, base),                           # near-twin of eval 101
+                (2, base),                           # exact dup WITHIN train
+                (3, "unrelated words entirely here disjoint tokens only"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_ = spark.createDataFrame(
+            [
+                (101, base + " lambda"),             # near-twin of train 1/2
+                (102, "different eval content with nothing shared at all"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in cross_corpus_near_pairs(
+                eval_, train, min_jaccard=0.5
+            ).collect()
+        }
+        # the within-train exact dup (1, 2) is NOT in the output —
+        # only cross pairs are
+        assert set(got) == {(101, 1), (101, 2)}
+        # exact 3-gram Jaccard: base = 10 tokens -> 8 grams, eval 101
+        # adds one token -> 9 grams, 8 shared -> 8/9
+        for v in got.values():
+            assert v == pytest.approx(8 / 9, abs=1e-9)
+
     def test_semantic_dedup_keeps_min_per_cluster(self, spark):
         """semantic_dedup (SemDeDup-style keep set): planted duplicate
         groups collapse to their min id; singletons survive; the
