@@ -1377,6 +1377,44 @@ def graph_motif_open_wedges(spark, sf_dir):
     )
 
 
+def graph_motif_typed_paths(spark, sf_dir):
+    """Relation-PREDICATE motif grammar gated end-to-end (the r04
+    `[e:rel]` extension, until now pytest-only): a two-relation edge
+    table (relation = 'top' for max-quantity co-supply pairs, 'high'
+    for the 45–49 band) matched with "(a)-[:top]->(b); (b)-[:high]->(c)"
+    — each term's relation filter prunes at its scan. Top-10 middle
+    vertices by typed-2-path count."""
+    from .operators.motif import find_motif
+
+    top = _cosupply_pairs(spark, sf_dir, "src", "dst", min_qty=50).withColumn(
+        "relation", F.lit("top")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 45) & (F.col("l_quantity") < 50)
+    ).select("l_orderkey", "l_suppkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    high = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .select(
+            F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst")
+        )
+        .distinct()
+        .withColumn("relation", F.lit("high"))
+    )
+    edges = top.unionByName(high)
+    m = find_motif(edges, "(a)-[:top]->(b); (b)-[:high]->(c)")
+    return (
+        m.groupBy("b")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("b"))
+        .limit(10)
+    )
+
+
 def graph_adjacent_names_salted(spark, sf_dir):
     """A6 twin under hot-key protection: per-nation neighbor name sets
     via two-stage salted collect_set (operators/skew.py) — result equal
@@ -1447,6 +1485,7 @@ QUERIES = {
     "text_lm_perplexity": text_lm_perplexity,
     "events_funnel_users": events_funnel_users,
     "dedup_cross_corpus_docs": dedup_cross_corpus_docs,
+    "graph_motif_typed_paths": graph_motif_typed_paths,
     # --- driver-witnessed in r03 ------------------------------------------
     "skew_report_events": skew_report_events,
     "pii_redact_docs": pii_redact_docs,
@@ -2981,6 +3020,28 @@ WHERE NOT EXISTS (
 )
 GROUP BY w1.dst
 ORDER BY n_open DESC, b ASC
+LIMIT 10
+"""
+)
+
+_o("graph_motif_typed_paths")(
+    """
+WITH top AS (
+  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+), high AS (
+  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l1.l_quantity < 50
+    AND l2.l_quantity >= 45 AND l2.l_quantity < 50
+)
+SELECT t.dst AS b, count(*)::BIGINT AS n_paths
+FROM top t JOIN high h ON h.src = t.dst
+GROUP BY t.dst
+ORDER BY n_paths DESC, b ASC
 LIMIT 10
 """
 )

@@ -312,6 +312,10 @@ def test_funnel_no_window_over_stream(spark):
     r = explain_report(QUERIES["events_funnel"](spark, SF))
     assert "Window" not in r.text, r.text
     assert r.cartesian_products == 0, r.text
+    # the per-user row form shares the frontier chain and the property
+    ru = explain_report(QUERIES["events_funnel_users"](spark, SF))
+    assert "Window" not in ru.text, ru.text
+    assert ru.cartesian_products == 0, ru.text
 
 
 def test_temperature_mix_broadcast_rates(spark):
