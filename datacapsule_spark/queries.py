@@ -1440,65 +1440,11 @@ def graph_adjacent_names_salted(spark, sf_dir):
 # Registry order is the driver-gate rotation: the driver records CORRECTNESS
 # rows for the FIRST 50 entries only, so each round the entries without a
 # recent driver-witnessed row (plus any new queries) are moved to the front.
-# r04 front-block = the 23 entries whose last driver row is r01/r02 (the
-# block after the r03 window) + graph_pagerank_cosupply (oracle NEW in r04 —
-# needs its first full driver row) + queries new in r04.  Union of r03+r04
-# driver rows re-covers the whole registry on current code.
+# r05 front-block = the 37 entries whose last driver row is r03-or-older
+# (everything outside the r04 window), then queries new in r05.  Union of
+# r04+r05 driver rows re-covers the whole registry on current code.
 QUERIES = {
-    # --- r04 rotation: last driver row r01/r02 ----------------------------
-    "segment_price_quartiles": segment_price_quartiles,
-    "user_event_sequences": user_event_sequences,
-    "dedup_keep_docs": dedup_keep_docs,
-    "string_projection": string_projection,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
-    "dedup_lsh_jaccard_docs": dedup_lsh_jaccard_docs,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "text_language_id": text_language_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_chunks": text_chunks,
-    "curation_boilerplate_strip": curation_boilerplate_strip,
-    "curation_decontaminate": curation_decontaminate,
-    "text_gopher_quality": text_gopher_quality,
-    "sample_docs_hash": sample_docs_hash,
-    "sample_per_source_topn": sample_per_source_topn,
-    "corpus_token_stats": corpus_token_stats,
-    "profile_part_columns": profile_part_columns,
-    "diff_orders_snapshots": diff_orders_snapshots,
-    # --- oracle new in r04 (was rows-only in r01-r03) ---------------------
-    "graph_pagerank_cosupply": graph_pagerank_cosupply,
-    # --- new in r04 -------------------------------------------------------
-    "events_daily_distinct_users": events_daily_distinct_users,
-    "graph_components_cosupply": graph_components_cosupply,
-    "text_bm25_topk": text_bm25_topk,
-    "dedup_semantic_keep": dedup_semantic_keep,
-    "events_funnel": events_funnel,
-    "text_bm25_index_topk": text_bm25_index_topk,
-    "graph_kcore_cosupply": graph_kcore_cosupply,
-    "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
-    "curation_temperature_mix": curation_temperature_mix,
-    "curation_pipeline_docs": curation_pipeline_docs,
-    "text_lm_perplexity": text_lm_perplexity,
-    "events_funnel_users": events_funnel_users,
-    "dedup_cross_corpus_docs": dedup_cross_corpus_docs,
-    "graph_motif_typed_paths": graph_motif_typed_paths,
-    # --- driver-witnessed in r03 ------------------------------------------
-    "skew_report_events": skew_report_events,
-    "pii_redact_docs": pii_redact_docs,
-    "merge_preview_orders": merge_preview_orders,
-    "split_docs_assign": split_docs_assign,
-    "latest_events_per_user": latest_events_per_user,
-    "expectations_orders": expectations_orders,
-    "events_hourly_distinct_users": events_hourly_distinct_users,
-    "corpus_balance_report": corpus_balance_report,
-    "pack_docs_sequences": pack_docs_sequences,
-    "rebalance_docs_sources": rebalance_docs_sources,
-    "dedup_containment_docs": dedup_containment_docs,
-    "vector_topk": vector_topk,
+    # --- r05 rotation: last driver row r03-or-older -----------------------
     "vector_knn_batch": vector_knn_batch,
     "vector_label_centroid_sim": vector_label_centroid_sim,
     "kg_triples_documents": kg_triples_documents,
@@ -1536,6 +1482,58 @@ QUERIES = {
     "parts_above_brand_avg": parts_above_brand_avg,
     "pivot_order_status": pivot_order_status,
     "monthly_revenue": monthly_revenue,
+    # --- new in r05 (inserted here, inside the 50-entry window) -----------
+    # --- driver-witnessed in r04 ------------------------------------------
+    "segment_price_quartiles": segment_price_quartiles,
+    "user_event_sequences": user_event_sequences,
+    "dedup_keep_docs": dedup_keep_docs,
+    "string_projection": string_projection,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_minhash_pairs_docs": dedup_minhash_pairs_docs,
+    "dedup_lsh_jaccard_docs": dedup_lsh_jaccard_docs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_chunks": text_chunks,
+    "curation_boilerplate_strip": curation_boilerplate_strip,
+    "curation_decontaminate": curation_decontaminate,
+    "text_gopher_quality": text_gopher_quality,
+    "sample_docs_hash": sample_docs_hash,
+    "sample_per_source_topn": sample_per_source_topn,
+    "corpus_token_stats": corpus_token_stats,
+    "profile_part_columns": profile_part_columns,
+    "diff_orders_snapshots": diff_orders_snapshots,
+    "graph_pagerank_cosupply": graph_pagerank_cosupply,
+    "events_daily_distinct_users": events_daily_distinct_users,
+    "graph_components_cosupply": graph_components_cosupply,
+    "text_bm25_topk": text_bm25_topk,
+    "dedup_semantic_keep": dedup_semantic_keep,
+    "events_funnel": events_funnel,
+    "text_bm25_index_topk": text_bm25_index_topk,
+    "graph_kcore_cosupply": graph_kcore_cosupply,
+    "graph_degree_histogram_cosupply": graph_degree_histogram_cosupply,
+    "curation_temperature_mix": curation_temperature_mix,
+    "curation_pipeline_docs": curation_pipeline_docs,
+    "text_lm_perplexity": text_lm_perplexity,
+    "events_funnel_users": events_funnel_users,
+    "dedup_cross_corpus_docs": dedup_cross_corpus_docs,
+    "graph_motif_typed_paths": graph_motif_typed_paths,
+    "skew_report_events": skew_report_events,
+    "pii_redact_docs": pii_redact_docs,
+    "merge_preview_orders": merge_preview_orders,
+    "split_docs_assign": split_docs_assign,
+    "latest_events_per_user": latest_events_per_user,
+    "expectations_orders": expectations_orders,
+    "events_hourly_distinct_users": events_hourly_distinct_users,
+    "corpus_balance_report": corpus_balance_report,
+    "pack_docs_sequences": pack_docs_sequences,
+    "rebalance_docs_sources": rebalance_docs_sources,
+    "dedup_containment_docs": dedup_containment_docs,
+    "vector_topk": vector_topk,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.
