@@ -1017,13 +1017,19 @@ def text_bm25_index_topk(spark, sf_dir):
 
     from .operators.retrieval import bm25_index_topk, build_bm25_index
 
-    # FIXED path per sf_dir (overwritten each run) — mkdtemp here
-    # would leak one full index per gate/bench invocation, and the
-    # returned DataFrame must keep reading the files lazily so the
-    # dir cannot be deleted before the driver collects
+    # FIXED path per (session, sf_dir), overwritten on re-run within a
+    # session — mkdtemp would leak one full index per gate/bench
+    # invocation, and the returned DataFrame must keep reading the
+    # files lazily so the dir cannot be deleted before the driver
+    # collects. The applicationId keeps concurrent sessions (pytest
+    # alongside validate_queries) from overwriting each other's index
+    # mid-read.
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"bm25_gate_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        "bm25_gate_idx_{}_{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
     )
     build_bm25_index(_docs(spark, sf_dir), idx, n_buckets=16)
     return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
@@ -2575,18 +2581,21 @@ FROM (
 _o("curation_temperature_mix")(
     """
 WITH counts AS (
-  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+  -- same NULL-as-its-own-group key as the operator (curation.py skey),
+  -- so NULL sources are gated, not silently dropped by the join
+  SELECT coalesce(source, ' <null>') AS skey, count(*) AS cnt
+  FROM documents GROUP BY 1
 ), tot AS (
   SELECT sum(cnt)::DOUBLE AS n, sum(pow(cnt, 0.5)) AS s FROM counts
 ),
 rates AS (
-  SELECT c.source,
+  SELECT c.skey,
          floor(least(1.0, pow(c.cnt, 0.5) / tot.s * tot.n / c.cnt)
                * 4294967296.0)::BIGINT AS thr
   FROM counts c CROSS JOIN tot
 )
 SELECT d.doc_id, d.source
-FROM documents d JOIN rates r ON d.source = r.source
+FROM documents d JOIN rates r ON coalesce(d.source, ' <null>') = r.skey
 WHERE ('0x' || substr(md5('temp' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 """
 )

@@ -206,8 +206,15 @@ def compact_dataset(
     if not fs.rename(p, old):
         raise IOError(f"compact swap: rename {p} -> {old} failed")
     if not fs.rename(tmp, p):
-        # put the original back so the dataset stays readable
-        fs.rename(old, p)
+        # put the original back so the dataset stays readable — and if
+        # the restore ALSO fails, say where the data lives instead of
+        # reporting only the forward failure over a missing dataset
+        if not fs.rename(old, p):
+            raise IOError(
+                f"compact swap: rename {tmp} -> {p} failed AND restoring "
+                f"the original failed — dataset is missing at {p}; the "
+                f"original data is intact at {old}, rename it back manually"
+            )
         raise IOError(f"compact swap: rename {tmp} -> {p} failed")
     if not fs.delete(old, True):
         raise IOError(

@@ -26,12 +26,22 @@ in-watermark lateness:
    for that step can never be chosen later (earlier frontiers only
    ever move DOWN as new events arrive, so each step's viable region
    only grows downward and min() only decreases);
-2. at steps AFTER the first EMPTY step, candidates <= the current
-   watermark can never be chosen: the empty step can only be filled
-   by a future event, future events carry ts >= watermark, and the
-   later step's chosen time must strictly exceed that ts. This bounds
-   state for users doing later steps without the first one (endless
-   clicks, no view), which rule 1 alone would keep forever.
+2. at steps AFTER the first EMPTY step at-or-after the break point,
+   candidates <= the current watermark can never be chosen: the empty
+   step can only be filled by a future event, future events carry
+   ts >= watermark, and the later step's chosen time must strictly
+   exceed that ts. Two refinements make this bound tight for EVERY
+   broken chain (not only chains broken at an empty step): (a) a
+   break step holding only non-viable candidates (all <= frontier t)
+   counts as empty once wm >= t — reviving such a candidate needs an
+   earlier frontier to drop below it, which (chasing the frontier
+   chain down to step 0, where stored candidates are all <= their
+   step's frontier <= t by rule 1) requires a NEW event with ts < t,
+   forbidden by the watermark; (b) a post-break step whose candidates
+   were ALL watermark-pruned counts as empty for the steps after it.
+   Together these bound state for users doing later steps without an
+   earlier one (endless clicks, no view), which rule 1 alone would
+   keep forever.
 
 `greedy_depth` is the shared pure-Python core (state update AND the
 pytest oracle), mirroring the extractor's shared-module pattern.
@@ -103,6 +113,11 @@ def _prune(
                 # the empty step, so anything <= wm is dead weight
                 cand = [x for x in cand if x > wm_ms]
             out.append(cand)
+            if not cand:
+                # an empty (or fully-pruned) step at-or-after the break
+                # arms rule 2 for every later step, even when the break
+                # step itself still holds non-viable candidates
+                seen_empty = True
             continue
         viable = [x for x in cand if t is None or x > t]
         if viable:
@@ -110,6 +125,14 @@ def _prune(
             out.append([x for x in cand if x <= f])
             t = f
         else:
+            if cand and wm_ms is not None and t is not None and wm_ms >= t:
+                # break step holds only non-viable candidates (all <= t).
+                # Reviving one needs an earlier frontier to drop below it,
+                # which (chasing the frontier chain down to step 0) needs a
+                # NEW event with ts < t; the watermark forbids ts < wm, so
+                # with wm >= t they are dead — the step is effectively
+                # empty and rule 2 arms for the later steps
+                cand = []
             out.append(cand)
             broken = True
             seen_empty = not cand

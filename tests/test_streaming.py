@@ -286,6 +286,17 @@ def test_funnel_prune_preserves_greedy_under_any_arrival_order():
         state = _prune(state, wm_ms=t - 10)
     assert len(state[1]) <= 12
 
+    # rule 2a: chain broken at a step holding a NON-VIABLE candidate
+    # (out-of-order early-step event below the frontier) + endless
+    # later-step events — once wm >= frontier the break step counts as
+    # empty, so the tail step stays bounded too
+    state = [[5], [3], []]
+    for t in range(20, 1000):
+        state[2].append(t)
+        state = _prune(state, wm_ms=t - 10)
+    assert state[1] == [] and len(state[2]) <= 12
+    assert greedy_depth(state)[0] == 1
+
 
 def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
     """The stateful streaming funnel's emitted depths equal the batch
