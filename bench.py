@@ -5,8 +5,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 construction pipeline on the generated bench corpus, and reports
 per-query wall seconds + pipeline triples/sec.
 
-    python bench.py            # full run
-    python bench.py --quick    # headline queries only, no KG pipeline
+    python bench.py              # full run (best-of-2 per measurement)
+    python bench.py --quick      # headline queries only, no KG pipeline
+    python bench.py --repeats 3  # best-of-3
+
+Per-measurement best-of (default 2): identical runs on this shared
+host vary ±40%, so single-run numbers inherit host drift (two r04
+phantom +50-70% swings on untouched code). Best-of-N keeps the
+signal; the JSON carries "repeats" so rounds are comparable.
 """
 
 from __future__ import annotations
@@ -54,6 +60,9 @@ HEADLINE = [
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     quick = "--quick" in sys.argv
+    repeats = 2
+    if "--repeats" in sys.argv:
+        repeats = max(1, int(sys.argv[sys.argv.index("--repeats") + 1]))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -71,9 +80,12 @@ def main() -> None:
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()  # count() forces full execution
-        queries[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()  # count() forces full execution
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
         print(f"# {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
 
     result = {
@@ -84,6 +96,7 @@ def main() -> None:
         # headline membership grew r01→r02 (+text_gopher_quality,
         # +curation_boilerplate_strip): compare per-query, not totals
         "n_queries": len(queries),
+        "repeats": repeats,
         "sf": sf,
         "cpus": cpus,
     }
@@ -109,11 +122,18 @@ def main() -> None:
         )
         for key, lsh, near in configs:
             work = f"/tmp/bench_kg_work_{key}"
-            shutil.rmtree(work, ignore_errors=True)
-            t0 = time.time()
-            out = run_pipeline(spark, repos, work, use_lsh=lsh, dedup_near=near)
-            n_triples = out["triples"].count()
-            kg_wall = time.time() - t0
+            kg_wall = float("inf")
+            for _ in range(repeats):
+                # fresh work dir each repeat — stage-checkpoint resume
+                # would otherwise make every repeat after the first a
+                # skip-everything no-op and the best-of a lie
+                shutil.rmtree(work, ignore_errors=True)
+                t0 = time.time()
+                out = run_pipeline(
+                    spark, repos, work, use_lsh=lsh, dedup_near=near
+                )
+                n_triples = out["triples"].count()
+                kg_wall = min(kg_wall, time.time() - t0)
             result[key] = {
                 "files": n_files,
                 "triples": n_triples,
