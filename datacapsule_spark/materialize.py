@@ -242,7 +242,8 @@ def _require_iceberg(spark) -> None:
         raise RuntimeError(
             "iceberg=True but no Iceberg catalog on this session: add the "
             "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
-            "config, or use the partitioned-parquet path (iceberg=False)."
+            "config (smoke script + full branch inventory: ICEBERG.md), "
+            "or use the partitioned-parquet path (iceberg=False)."
         )
 
 
