@@ -192,3 +192,97 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Personalized PageRank → (node, rank), sum(rank) = 1: teleport
+    AND dangling mass restart at the SEED distribution (uniform over
+    `seeds`) instead of uniformly over all nodes, so rank concentrates
+    in the seeds' neighborhood. This is the batch analogue of the
+    reference's start-node-anchored hierarchy walks (react_tools.py:
+    92-181 expand outward from one entity) and the standard KG-serving
+    ranking primitive (seed = the entities in a user query).
+
+    `seeds` is a single-column DataFrame of node ids (scale path —
+    millions of seeds stay distributed) or a Python list (serving
+    convenience). Seeds not present in the graph would silently leak
+    restart mass, so they raise. Same per-round shape as `pagerank`:
+    one join + one aggregation, dangling mass as an in-plan broadcast
+    1-row aggregate, eager localCheckpoint keeping the plan O(1) deep.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    if not isinstance(seeds, DataFrame):
+        if not seeds:
+            raise ValueError("seeds must be non-empty")
+        from pyspark.sql.types import StructField, StructType
+
+        seeds = spark.createDataFrame(
+            [(x,) for x in set(seeds)],
+            StructType([StructField("node", e.schema["s"].dataType)]),
+        )
+    sd = seeds.toDF("node").distinct().localCheckpoint(eager=True)
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.join(sd, "node", "left_semi").count() != n_seeds:
+        raise ValueError(
+            "some seeds are not nodes of the graph — their restart mass "
+            "would silently vanish; filter seeds to the node set first"
+        )
+    # restart distribution p, materialized once and reused every round
+    base = (
+        nodes.join(sd.withColumn("_p", F.lit(1.0 / n_seeds)), "node", "left")
+        .select("node", F.coalesce("_p", F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
+    links = e.join(outdeg, "s").localCheckpoint(eager=True)
+    has_out = links.select(F.col("s").alias("node")).distinct()
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
+        eager=True
+    )
+    ranks = base.select("node", F.col("p").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        dm = (
+            ranks.join(dangling_nodes, "node")
+            .groupBy()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contribs = (
+            links.join(ranks, links.s == ranks.node)
+            .select(
+                F.col("t").alias("node"), (F.col("rank") / F.col("od")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))  # 1-row aggregate, stays in-plan
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.col("_dm") * F.col("p") + F.coalesce("c", F.lit(0.0)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1314,6 +1314,32 @@ def graph_pagerank_cosupply(spark, sf_dir):
     )
 
 
+def graph_ppr_cosupply(spark, sf_dir):
+    """Personalized PageRank over the directed co-supply graph,
+    anchored at the two lowest-id suppliers (operators/graph_stats.
+    personalized_pagerank): teleport and dangling mass restart at the
+    seeds, so rank concentrates in their neighborhood — the batch
+    analogue of the reference's start-node-anchored hierarchy walks
+    (react_tools.py:92-181). Seeds are passed as a DataFrame (the
+    scale path — no driver collect anywhere). Oracle: the proven
+    recursive-CTE power method with the restart vector folded in."""
+    from .operators.graph_stats import personalized_pagerank
+
+    pairs = _cosupply_pairs(spark, sf_dir, "src", "dst")
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .unionAll(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(2)
+    pr = personalized_pagerank(pairs, seeds, max_iter=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_components_cosupply(spark, sf_dir):
     """Distributed connected components — the engine's G5
     canonicalization primitive (canonicalize.py:27, the alternating
@@ -1489,6 +1515,7 @@ QUERIES = {
     "pivot_order_status": pivot_order_status,
     "monthly_revenue": monthly_revenue,
     # --- new in r05 (inserted here, inside the 50-entry window) -----------
+    "graph_ppr_cosupply": graph_ppr_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2967,6 +2994,59 @@ it(iter, node, rank) AS (
          (1 - 0.85) / (SELECT n FROM nn)
          + 0.85 * (d.m / (SELECT n FROM nn) + coalesce(c.contrib, 0.0))
   FROM nodes n
+  CROSS JOIN (SELECT DISTINCT iter FROM it) r
+  CROSS JOIN (
+    SELECT coalesce(sum(rank), 0.0) AS m
+    FROM it WHERE node NOT IN (SELECT s FROM outdeg)
+  ) d
+  LEFT JOIN (
+    SELECT l.t AS node, sum(x.rank / l.od) AS contrib
+    FROM it x JOIN links l ON x.node = l.s
+    GROUP BY l.t
+  ) c ON c.node = n.node
+  WHERE r.iter < 10
+)
+SELECT node, round(rank, 6) AS rank
+FROM it WHERE iter = 10
+ORDER BY rank DESC, node ASC
+LIMIT 10
+"""
+)
+
+_o("graph_ppr_cosupply")(
+    # Same recursive-CTE power method as graph_pagerank_cosupply, with
+    # the uniform teleport replaced by the seed restart vector p
+    # (0.5 on each of the two lowest-id nodes): rank' =
+    # (1-d)*p + d*(dangling_mass*p + contribs).
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS s, l2.l_suppkey AS t
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT t FROM e)
+),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+p AS (
+  -- ::DOUBLE is load-bearing: a bare 0.5 literal is DECIMAL(2,1), the
+  -- initial term would fix it.rank to that type, and every rank in the
+  -- recursion would silently quantize to one decimal place
+  SELECT n.node,
+         (CASE WHEN s.node IS NOT NULL THEN 0.5 ELSE 0.0 END)::DOUBLE AS p
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+outdeg AS (SELECT s, count(*)::DOUBLE AS od FROM e GROUP BY s),
+links AS (SELECT e.s, e.t, od FROM e JOIN outdeg USING (s)),
+it(iter, node, rank) AS (
+  SELECT 0, node, p FROM p
+  UNION ALL
+  SELECT r.iter + 1, n.node,
+         (1 - 0.85) * n.p
+         + 0.85 * (d.m * n.p + coalesce(c.contrib, 0.0))
+  FROM p n
   CROSS JOIN (SELECT DISTINCT iter FROM it) r
   CROSS JOIN (
     SELECT coalesce(sum(rank), 0.0) AS m

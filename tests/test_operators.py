@@ -1395,6 +1395,61 @@ class TestGraphStats:
         for node, w in want.items():
             assert got[node] == pytest.approx(w, abs=1e-9), node
 
+    def test_personalized_pagerank_matches_power_iteration(self, spark):
+        """PPR == pure-Python power iteration where teleport AND
+        dangling mass restart at the seed distribution; list-seed and
+        DataFrame-seed paths agree; absent seeds raise."""
+        import random
+
+        from datacapsule_spark.operators.graph_stats import (
+            personalized_pagerank,
+        )
+
+        rng = random.Random(7)
+        edges = list(
+            {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        edges.append((0, 99))  # dangling node 99
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = [3, 99]
+        got = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(df, seeds, max_iter=40).collect()
+        }
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {v: [] for v in nodes}
+        for a, b in edges:
+            out[a].append(b)
+        d = 0.85
+        p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+        want = dict(p)
+        for _ in range(40):
+            dangling = sum(want[v] for v in nodes if not out[v])
+            nxt = {v: (1 - d) * p[v] + d * dangling * p[v] for v in nodes}
+            for v in nodes:
+                for w in out[v]:
+                    nxt[w] += d * want[v] / len(out[v])
+            want = nxt
+
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # probability mass
+        for node, w in want.items():
+            assert got[node] == pytest.approx(w, abs=1e-9), node
+
+        # DataFrame-seed path == list path
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got_df = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(df, sdf, max_iter=40).collect()
+        }
+        for node in got:
+            assert got_df[node] == pytest.approx(got[node], abs=1e-12)
+
+        # a seed outside the graph would leak restart mass -> raise
+        with pytest.raises(ValueError, match="not nodes of the graph"):
+            personalized_pagerank(df, [3, 123456], max_iter=1)
+
     def test_k_core_matches_networkx(self, spark):
         """k_core (parallel peeling) == NetworkX's k_core node set on a
         random graph for k = 2 and 3, plus the empty-core edge case."""
