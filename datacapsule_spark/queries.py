@@ -1148,6 +1148,27 @@ def vector_ann_ivf_batch(spark, sf_dir):
     )
 
 
+def vector_ann_recall(spark, sf_dir):
+    """The ANN recall screen (vectorize.ann_recall_at_k) driver-gated
+    at its fixed point: with n_probe = n_lists the IVF probe IS brute
+    force, so recall == 1.0 EXACTLY and the oracle derives the same
+    1-row answer from the data (n_queries) plus the fixed point —
+    witnessing the whole index→probe→rank→compare-to-exact chain.
+    Narrow-probe recall (the dial users actually tune) is screened in
+    tests/test_sessionize_ivf.py against a Python-computed recall."""
+    from .vectorize import ann_recall_at_k, ivf_index
+
+    e = _emb_double(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "label", "embedding"
+    )
+    corpus = e.where(F.col("id") >= 3)
+    indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    queries = e.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_recall_at_k(indexed, centroids, queries, k=5, n_probe=8)
+
+
 def vector_label_centroid_sim(spark, sf_dir):
     """Aggregate over vectors: per-label mean vector then its cosine to
     the global mean — exercises element-wise array aggregation."""
@@ -1516,6 +1537,7 @@ QUERIES = {
     "monthly_revenue": monthly_revenue,
     # --- new in r05 (inserted here, inside the 50-entry window) -----------
     "graph_ppr_cosupply": graph_ppr_cosupply,
+    "vector_ann_recall": vector_ann_recall,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3010,6 +3032,17 @@ SELECT node, round(rank, 6) AS rank
 FROM it WHERE iter = 10
 ORDER BY rank DESC, node ASC
 LIMIT 10
+"""
+)
+
+_o("vector_ann_recall")(
+    # fixed-point oracle: at n_probe = n_lists the probe is exactly
+    # brute force, so recall is 1.0 by construction — the oracle
+    # derives n_queries from the data and pins the fixed point
+    """
+SELECT 5 AS k, 8 AS n_probe,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 3)::BIGINT AS n_queries,
+       1.0::DOUBLE AS recall
 """
 )
 

@@ -322,6 +322,48 @@ def ivf_topk_batch(
     )
 
 
+def ann_recall_at_k(
+    indexed: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall screen for the ANN dial: 1-row (k, n_probe, n_queries,
+    recall) comparing the IVF probe's top-k against the exact
+    brute-force top-k over the SAME index, averaged across the query
+    set — the job a user runs on a sample of real queries to pick
+    n_probe before committing a 100 TB scan budget. One Spark job:
+    both sides are per-query windows (ivf_topk_batch /
+    cosine_topk_batch shapes), joined per (query, id), so cost is
+    O(probe + exact-sample) regardless of Q. recall = |approx ∩
+    exact| / |exact| per query (exact can return < k rows when the
+    corpus is small or vectors are zero), then averaged. At n_probe =
+    n_lists the probe IS brute force, so recall == 1.0 exactly — the
+    oracle-gated fixed point; narrow probes are pytest-screened."""
+    approx = ivf_topk_batch(
+        indexed, centroids, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col)
+    exact = cosine_topk_batch(
+        indexed.drop("list_id"), queries, k=k
+    ).select("query_id", id_col)
+    hits = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["query_id", id_col], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        (F.sum(F.coalesce("_hit", F.lit(0))) / F.count("*")).alias("recall_q")
+    )
+    return per_q.groupBy().agg(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_probe).cast("int").alias("n_probe"),
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg("recall_q"), 6).alias("recall"),
+    )
+
+
 # ------------------------------------------- LSH-bucketed ANN (scale path)
 
 def hyperplane_signatures(

@@ -82,6 +82,61 @@ class TestIVF:
                     want.add((qi, r["id"], round(r["sim"], 9)))
             assert got == want, f"n_probe={n_probe}"
 
+    def test_ann_recall_at_k_matches_python_and_hits_fixed_point(self, spark):
+        """ann_recall_at_k's reported recall equals a Python-computed
+        recall (collect both top-k sides, intersect, average) at a
+        NARROW probe, and is exactly 1.0 at full probe."""
+        from datacapsule_spark.vectorize import (
+            ann_recall_at_k,
+            cosine_topk_batch,
+            hash_embed_text,
+            ivf_index,
+            ivf_topk_batch,
+        )
+
+        rows = [
+            (f"e{i}", "entity", "t", f"name{i}",
+             hash_embed_text(f"name{i}", 16).tolist())
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id string, kind string, entity_type string, name string, "
+            "embedding array<float>",
+        )
+        indexed, centroids = ivf_index(df, n_lists=8)
+        queries = spark.createDataFrame(
+            [(qi, [float(x) for x in hash_embed_text(f"name{qi}", 16)])
+             for qi in (3, 42, 117, 200)],
+            "query_id int, qvec array<double>",
+        )
+
+        full = ann_recall_at_k(
+            indexed, centroids, queries, k=5, n_probe=8
+        ).collect()[0]
+        assert (full["k"], full["n_probe"], full["n_queries"]) == (5, 8, 4)
+        assert full["recall"] == 1.0
+
+        narrow = ann_recall_at_k(
+            indexed, centroids, queries, k=5, n_probe=1
+        ).collect()[0]["recall"]
+        # python twin from the two top-k sides
+        ap = {}
+        for r in ivf_topk_batch(
+            indexed, centroids, queries, k=5, n_probe=1
+        ).collect():
+            ap.setdefault(r["query_id"], set()).add(r["id"])
+        ex = {}
+        for r in cosine_topk_batch(
+            indexed.drop("list_id"), queries, k=5
+        ).collect():
+            ex.setdefault(r["query_id"], set()).add(r["id"])
+        want = sum(
+            len(ap.get(q, set()) & s) / len(s) for q, s in ex.items()
+        ) / len(ex)
+        assert narrow == pytest.approx(round(want, 6), abs=1e-9)
+        assert 0.0 < narrow <= 1.0
+
     def test_ivf_assigns_every_vector(self, spark):
         from datacapsule_spark.vectorize import hash_embed_text, ivf_index
 
