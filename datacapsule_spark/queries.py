@@ -1430,6 +1430,26 @@ def graph_motif_open_wedges(spark, sf_dir):
     )
 
 
+def graph_motif_varlen_reach(spark, sf_dir):
+    """Variable-length motif paths driver-gated (r04 VERDICT item 4):
+    "(a)-[*2..3]->(b); !(a)-[]->(b)" over the sparse directed co-supply
+    DAG — supplier pairs connected by a walk of 2 or 3 hops but NOT
+    directly. The `[*lo..hi]` term compiles to a per-level dedup'd
+    bounded-reachability join (operators/motif._bounded_reach), the
+    general form of the reference's level-by-level hierarchy walks
+    (react_tools.py:92-181). Oracle: DuckDB recursive CTE walking
+    (a, b, depth) to depth 3, NOT EXISTS for the direct edge."""
+    from .operators.motif import find_motif
+
+    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    edges = pairs.select(
+        F.col("a").alias("src"),
+        F.lit("cosupply").alias("relation"),
+        F.col("b").alias("dst"),
+    )
+    return find_motif(edges, "(a)-[*2..3]->(b); !(a)-[]->(b)")
+
+
 def graph_motif_typed_paths(spark, sf_dir):
     """Relation-PREDICATE motif grammar gated end-to-end (the r04
     `[e:rel]` extension, until now pytest-only): a two-relation edge
@@ -1538,6 +1558,7 @@ QUERIES = {
     # --- new in r05 (inserted here, inside the 50-entry window) -----------
     "graph_ppr_cosupply": graph_ppr_cosupply,
     "vector_ann_recall": vector_ann_recall,
+    "graph_motif_varlen_reach": graph_motif_varlen_reach,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3032,6 +3053,30 @@ SELECT node, round(rank, 6) AS rank
 FROM it WHERE iter = 10
 ORDER BY rank DESC, node ASC
 LIMIT 10
+"""
+)
+
+_o("graph_motif_varlen_reach")(
+    # bounded-walk reachability: recursive (a, b, d) to depth 3 (the
+    # recursive UNION dedups on the triple, so it terminates), keep
+    # depths 2-3, drop pairs with a direct edge
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+),
+walk(a, b, d) AS (
+  SELECT a, b, 1 FROM e
+  UNION
+  SELECT w.a, e.b, w.d + 1 FROM walk w JOIN e ON w.b = e.a WHERE w.d < 3
+)
+SELECT DISTINCT w.a, w.b
+FROM walk w
+WHERE w.d BETWEEN 2 AND 3
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
 """
 )
 
