@@ -213,25 +213,61 @@ def corpus_balance(
     docs: DataFrame,
     group_cols: list[str] | None = None,
     text_col: str = "text",
+    percentile_mode: str = "auto",
+    approx_group_threshold: int = 5_000_000,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Mixing report: per group (default source × lang), doc count,
-    share of corpus, and exact p50/p90 token-count percentiles — the
-    table a data-mixing decision reads. One shuffle on the group key;
-    the total is a broadcast scalar join (a 1-row aggregate), not a
-    window over the whole corpus.
+    share of corpus, and p50/p90 token-count percentiles — the table a
+    data-mixing decision reads. One shuffle on the group key; the
+    total is a broadcast scalar join (a 1-row aggregate), not a window
+    over the whole corpus.
 
-    Exact `percentile` buffers each group's values — right for the
-    oracle-checked report at test scale; at 100 TB swap in
-    approx_percentile(col, p, accuracy) (one-token change, bounded
-    memory per group, same output shape)."""
+    Percentile strategy (r04 VERDICT item 6): exact `percentile`
+    buffers every group's values inside one aggregation buffer — fine
+    to ~5M rows/group (~40 MB of longs + sort), an OOM risk beyond.
+    percentile_mode:
+
+    - "exact"  — always exact (the oracle regime; gated queries pin it)
+    - "approx" — always approx_percentile(accuracy=approx_accuracy):
+      bounded sketch memory per group, rank error <= 1/accuracy; for
+      groups SMALLER than `accuracy` the sketch holds every value, so
+      the only deviation from exact is interpolation (exact
+      interpolates between order statistics, approx returns a real
+      element — off by at most one inter-element gap)
+    - "auto"   — a cheap pre-pass (group-cols-only scan, map-side
+      partial count) finds the LARGEST group; exact when it is <=
+      approx_group_threshold, approx above. The pre-pass costs one
+      column-pruned scan — noise next to buffering 10^9 values in one
+      task, which is what it prevents.
+    """
+    if percentile_mode not in ("auto", "exact", "approx"):
+        raise ValueError(f"bad percentile_mode {percentile_mode!r}")
     group_cols = group_cols or ["source", "lang"]
+    if percentile_mode == "auto":
+        max_group = (
+            docs.groupBy(*group_cols)
+            .agg(F.count("*").alias("_c"))
+            .agg(F.max("_c"))
+            .collect()[0][0]
+            or 0
+        )
+        percentile_mode = (
+            "exact" if max_group <= approx_group_threshold else "approx"
+        )
     n_toks = F.size(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     )
+    if percentile_mode == "exact":
+        p50 = F.percentile("_nt", F.lit(0.5))
+        p90 = F.percentile("_nt", F.lit(0.9))
+    else:
+        p50 = F.percentile_approx("_nt", F.lit(0.5), F.lit(approx_accuracy))
+        p90 = F.percentile_approx("_nt", F.lit(0.9), F.lit(approx_accuracy))
     per = docs.select(*group_cols, n_toks.alias("_nt")).groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
-        F.round(F.percentile("_nt", F.lit(0.5)), 2).alias("p50_tokens"),
-        F.round(F.percentile("_nt", F.lit(0.9)), 2).alias("p90_tokens"),
+        F.round(p50.cast("double"), 2).alias("p50_tokens"),
+        F.round(p90.cast("double"), 2).alias("p90_tokens"),
     )
     total = docs.groupBy().agg(F.count("*").alias("_total"))
     return per.join(F.broadcast(total)).select(

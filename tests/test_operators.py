@@ -959,6 +959,64 @@ class TestCuration:
         assert {r["doc_id"] for r in kept} == {1, 2, 3}
         assert {r["source"] for r in kept} == {"s", None}
 
+    def test_corpus_balance_exact_equals_approx(self, spark):
+        """corpus_balance's percentile regimes (r04 VERDICT item 6):
+        approx_percentile agrees with exact at sf0.01 (groups smaller
+        than the sketch accuracy — only interpolation can differ), and
+        the auto threshold switches between them deterministically."""
+        from datacapsule_spark.operators.curation import corpus_balance
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        key = lambda r: tuple(r[c] for c in ("source", "lang"))  # noqa: E731
+        exact = {
+            key(r): r
+            for r in corpus_balance(docs, percentile_mode="exact").collect()
+        }
+        approx = {
+            key(r): r
+            for r in corpus_balance(docs, percentile_mode="approx").collect()
+        }
+        assert exact.keys() == approx.keys() and exact
+        # per-group sorted token counts (python twin of the operator's
+        # tokenizer) — approx must return a REAL element at the right
+        # rank (groups are smaller than the sketch accuracy, so the
+        # sketch is lossless and only interpolation can differ: exact
+        # interpolates at q*(n-1), approx picks a neighboring element)
+        import math
+
+        toks = {}
+        for r in docs.select("source", "lang", "text").collect():
+            n = len([t for t in (r["text"] or "").strip().split() if t])
+            toks.setdefault((r["source"], r["lang"]), []).append(n)
+        for k, e in exact.items():
+            a = approx[k]
+            assert (a["n_docs"], a["share"]) == (e["n_docs"], e["share"])
+            vals = sorted(toks[k])
+            for q, col in ((0.5, "p50_tokens"), (0.9, "p90_tokens")):
+                pos = q * (len(vals) - 1)
+                lo, hi = vals[math.floor(pos)], vals[math.ceil(pos)]
+                assert lo <= e[col] <= hi, (k, col, e[col], lo, hi)
+                assert a[col] in (float(lo), float(hi)), (k, col, a[col], lo, hi)
+
+        # auto: threshold above max group -> exact rows; 0 -> approx rows
+        auto_exact = {
+            key(r): r
+            for r in corpus_balance(
+                docs, percentile_mode="auto", approx_group_threshold=10**9
+            ).collect()
+        }
+        assert auto_exact == exact
+        auto_approx = {
+            key(r): r
+            for r in corpus_balance(
+                docs, percentile_mode="auto", approx_group_threshold=0
+            ).collect()
+        }
+        assert auto_approx == approx
+
+        with pytest.raises(ValueError, match="percentile_mode"):
+            corpus_balance(docs, percentile_mode="p2")
+
     def test_boilerplate_strip(self, spark):
         from datacapsule_spark.operators.curation import boilerplate_strip
 
