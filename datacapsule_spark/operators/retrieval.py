@@ -42,18 +42,22 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     _mode: str = "overwrite",
+    _version: int = 0,
 ) -> None:
     """Materialize `<path>/postings` (bucket=<b>/ partitioned:
-    tok, doc_id, tf), `<path>/doclens` (doc_id, dl), and
-    `<path>/stats` MERGEABLE partials (n_docs, sum_dl, n_buckets) —
-    one partial row per build/append batch, summed at query time.
+    tok, doc_id, tf, _version), `<path>/doclens` (doc_id, dl,
+    _version, _deleted), and `<path>/stats` (raw batch totals +
+    n_buckets, one row per build/append/upsert batch).
 
     One explode + one (tok, doc_id) aggregation — the single wide pass
-    any inverted-index build pays. Nothing global is stored
-    NON-mergeably: per-term df is recomputed by each query from its
-    own postings slice (one partial agg over rows it already reads),
-    and the corpus constants are sum-mergeable partials — which is
-    what makes `append_bm25_index` a pure O(batch) append."""
+    any inverted-index build pays. Nothing global is stored: per-term
+    df is recomputed by each query from its own postings slice, and
+    the corpus constants (n, avgdl) derive from the RESOLVED doclens
+    at query time — so upserts and tombstones (the vector_store
+    supersede pattern, r04 VERDICT item 7) are honored without any
+    global rewrite. doclens is the version log: latest (doc_id,
+    _version) wins at read, and postings join on that pair, so a
+    superseded doc's old postings drop out without being touched."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(_tokens(text_col), lambda t: t != "")).alias("tok"),
@@ -62,6 +66,7 @@ def build_bm25_index(
         toks.groupBy("tok", "doc_id")
         .agg(F.count("*").alias("tf"))
         .withColumn("bucket", _bucket_col("tok", n_buckets))
+        .withColumn("_version", F.lit(int(_version)).cast("long"))
     )
     postings.write.mode(_mode).partitionBy("bucket").parquet(
         f"{path}/postings"
@@ -71,6 +76,8 @@ def build_bm25_index(
         F.size(F.filter(_tokens(text_col), lambda t: t != ""))
         .cast("double")
         .alias("dl"),
+        F.lit(int(_version)).cast("long").alias("_version"),
+        F.lit(False).alias("_deleted"),
     )
     doclens.write.mode(_mode).parquet(f"{path}/doclens")
     doclens.agg(
@@ -88,18 +95,61 @@ def append_bm25_index(
 ) -> None:
     """Fold a batch of NEW documents into an existing index — O(batch)
     I/O only: the batch's postings append into their bucket
-    partitions, its doclens append, and one stats partial row appends
-    (summed with the others at query time). Queries over the appended
-    index equal queries over an index built from scratch on the union
-    (pytest-pinned). Caller contract: doc_ids not already indexed —
-    re-indexing a changed doc needs a rebuild (or a delete log, the
-    vector_store pattern)."""
+    partitions, its doclens append, and one stats row appends. Queries
+    over the appended index equal queries over an index built from
+    scratch on the union (pytest-pinned). Caller contract: doc_ids not
+    already indexed — for CHANGED docs use `upsert_bm25_index` (takes
+    a version and supersedes)."""
     spark = new_docs.sparkSession
     n_buckets = spark.read.parquet(f"{path}/stats").collect()[0]["n_buckets"]
     build_bm25_index(
         new_docs, path, n_buckets=n_buckets, text_col=text_col,
         id_col=id_col, _mode="append",
     )
+
+
+def upsert_bm25_index(
+    docs: DataFrame,
+    path: str,
+    version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Re-index CHANGED (or new) docs in O(batch) — the delete log
+    that removes `append_bm25_index`'s rebuild caveat: the batch's
+    postings + doclens append stamped `version`; at query time the
+    highest doclens version per doc wins and postings resolve through
+    that pair, so the doc's previous postings stop scoring without
+    being rewritten (compaction is a maintenance job, not the write
+    path — exactly vector_store.upsert's contract). Versions are
+    caller-supplied and must be STRICTLY higher than any prior version
+    of the same doc; re-upserting a doc at an unchanged version is
+    undefined (both copies' postings would resolve)."""
+    spark = docs.sparkSession
+    n_buckets = spark.read.parquet(f"{path}/stats").collect()[0]["n_buckets"]
+    build_bm25_index(
+        docs, path, n_buckets=n_buckets, text_col=text_col,
+        id_col=id_col, _mode="append", _version=version,
+    )
+
+
+def delete_bm25_docs(
+    spark: SparkSession, path: str, ids: list, version: int
+) -> None:
+    """Append doclens tombstones for `ids` at `version` — the docs stop
+    scoring immediately (their postings fail the version-resolution
+    join); O(batch) I/O, no postings touched. Same-version ties
+    resolve tombstone-wins, like vector_store.read."""
+    tomb = spark.createDataFrame(
+        [(i,) for i in ids],
+        spark.read.parquet(f"{path}/doclens").select("doc_id").schema,
+    ).select(
+        "doc_id",
+        F.lit(None).cast("double").alias("dl"),
+        F.lit(int(version)).cast("long").alias("_version"),
+        F.lit(True).alias("_deleted"),
+    )
+    tomb.write.mode("append").parquet(f"{path}/doclens")
 
 
 def bm25_index_topk(
@@ -120,17 +170,35 @@ def bm25_index_topk(
     # term-set semantics, same as text.bm25_topk (duplicate literals
     # would also trip Spark's duplicate-map-key EXCEPTION policy)
     query_terms = list(dict.fromkeys(query_terms))
-    stats = (
+    n_buckets = (
         spark.read.parquet(f"{path}/stats")
-        .agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("sum_dl").alias("sum_dl"),
-            F.max("n_buckets").alias("n_buckets"),
-        )
-        .collect()[0]
+        .agg(F.max("n_buckets"))
+        .collect()[0][0]
     )
-    n, n_buckets = stats["n"], stats["n_buckets"]
-    avgdl = float(stats["sum_dl"] or 0.0) / n if n else 1.0
+    # resolve the doclens version log (latest per doc wins, tombstones
+    # drop — vector_store.read's window) and derive the corpus
+    # constants from the RESOLVED view, so upserted/deleted docs are
+    # excluded from n/avgdl too, not just from scoring. doclens is one
+    # skinny row per live doc; at scale write it bucketed by doc_id
+    from pyspark.sql import Window
+
+    dl_raw = spark.read.parquet(f"{path}/doclens")
+    if "_version" in dl_raw.columns:
+        wv = Window.partitionBy("doc_id").orderBy(
+            F.desc("_version"), F.desc("_deleted")
+        )
+        doclens = (
+            dl_raw.withColumn("_rn", F.row_number().over(wv))
+            .where((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", "_deleted")
+        )
+    else:  # pre-versioning index layout: everything is version 0
+        doclens = dl_raw.withColumn("_version", F.lit(0).cast("long"))
+    cstats = doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n = cstats["n"]
+    avgdl = float(cstats["sum_dl"] or 0.0) / n if n else 1.0
     buckets = sorted({_bucket_py(t, n_buckets) for t in query_terms})
     # read twice (df agg + scoring) WITHOUT a checkpoint: both reads
     # are bucket-pruned postings-slice scans — re-reading the slice is
@@ -141,18 +209,23 @@ def bm25_index_topk(
         .where(F.col("bucket").isin(buckets))  # partition pruning
         .where(F.col("tok").isin(list(query_terms)))
     )
+    if "_version" not in post.columns:
+        post = post.withColumn("_version", F.lit(0).cast("long"))
+    # live slice: the (doc_id, _version) join against resolved doclens
+    # drops superseded/tombstoned postings before df counting AND
+    # scoring (df must see the live corpus only)
+    live = post.join(doclens, ["doc_id", "_version"])
     # per-term df from the slice just read (bounded: Q terms)
     dfs = {
         r["tok"]: r["df"]
-        for r in post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")).collect()
+        for r in live.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")).collect()
     }
     idf = {t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)) for t in query_terms}
     idf_map = F.create_map(
         *[x for t in query_terms for x in (F.lit(t), F.lit(idf[t]))]
     )
-    doclens = spark.read.parquet(f"{path}/doclens")
     scored = (
-        post.join(doclens, "doc_id")
+        live
         .withColumn(
             "_s",
             idf_map[F.col("tok")]

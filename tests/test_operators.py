@@ -578,6 +578,62 @@ class TestText:
         ]
         assert rows(inc) == rows(scratch) == want
 
+    def test_bm25_index_upsert_and_delete(self, spark, tmp_path):
+        """The BM25 delete log (r04 VERDICT item 7): upserting changed
+        docs + tombstoning removed ones answers queries EXACTLY like an
+        index rebuilt from scratch on the final corpus — superseded
+        postings stop scoring, df and n/avgdl track the live corpus."""
+        from datacapsule_spark.operators.retrieval import (
+            bm25_index_topk,
+            build_bm25_index,
+            delete_bm25_docs,
+            upsert_bm25_index,
+        )
+        from datacapsule_spark.operators.text import bm25_topk
+
+        schema = "doc_id long, text string"
+        v0 = [
+            (0, "spark join spark stream table"),
+            (1, "join join join row"),
+            (2, "table row scan sort"),
+            (3, "stream"),
+            (4, "spark stream join spark spark"),
+        ]
+        # doc 1 rewritten (loses all 'join's), doc 9 is new, doc 3 deleted
+        changed = [(1, "scan scan table"), (9, "join stream join")]
+        final = [v0[0], changed[0], v0[2], v0[4], changed[1]]
+
+        idx = str(tmp_path / "log_idx")
+        build_bm25_index(spark.createDataFrame(v0, schema), idx, n_buckets=8)
+        upsert_bm25_index(spark.createDataFrame(changed, schema), idx, version=1)
+        delete_bm25_docs(spark, idx, [3], version=1)
+
+        scratch = str(tmp_path / "scratch_final")
+        build_bm25_index(
+            spark.createDataFrame(final, schema), scratch, n_buckets=8
+        )
+        for terms in (["spark", "join", "stream"], ["scan", "row"]):
+            got = [
+                (r["doc_id"], r["bm25"])
+                for r in bm25_index_topk(spark, idx, terms, k=10).collect()
+            ]
+            want = [
+                (r["doc_id"], r["bm25"])
+                for r in bm25_index_topk(spark, scratch, terms, k=10).collect()
+            ]
+            scan = [
+                (r["doc_id"], r["bm25"])
+                for r in bm25_topk(
+                    spark.createDataFrame(final, schema), terms, k=10
+                ).collect()
+            ]
+            assert got == want == scan, terms
+        # deleted doc never scores, even for its own terms
+        assert all(
+            r["doc_id"] != 3
+            for r in bm25_index_topk(spark, idx, ["stream"], k=10).collect()
+        )
+
     def test_chunk_documents_windows(self, spark):
         from datacapsule_spark.operators.text import chunk_documents
 
