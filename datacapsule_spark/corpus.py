@@ -182,6 +182,39 @@ def generate_row(i: int, vocab: list[str], seed: int = SEED):
     return repo, path, commit, lang, content
 
 
+ADVERSARIAL_MONOREPO = "org0/monorepo"
+VIRAL_SYMBOL = "viral_spread"  # snake half; camel alias = ViralSpread
+
+_VIRAL_SNIPPET = {
+    "python": "\ndef uses_viral(x, y):\n    z = viral_spread(x)\n    return z",
+    "javascript": "\nconst usesViral = (x) => viral_spread(x)",
+}
+
+
+def generate_row_adversarial(i: int, vocab: list[str], seed: int = SEED):
+    """Adversarial-skew twin of generate_row (bench/skew_evidence.py,
+    r04 VERDICT item 2): ~35% of ALL files land in ONE monorepo (vs
+    the balanced generator's 2×20% hot repos) and ~50% of files gain a
+    call to one viral symbol — the planted hot-partition and hot-key
+    stresses SURVEY §4.2.3's salting story must absorb. Same pure
+    function-of-(i, seed) contract, so generation parallelizes."""
+    rng = random.Random((seed << 21) ^ i)
+    if rng.random() < 0.35:
+        repo = ADVERSARIAL_MONOREPO
+    else:
+        r = rng.randint(0, 160)
+        repo = f"org{r % 7}/repo{r % 23}"
+    u = rng.random()
+    lang = "python" if u < 0.7 else ("javascript" if u < 0.85 else "java")
+    ext = {"python": "py", "javascript": "js", "java": "java"}[lang]
+    path = f"src/pkg{i % 13}/mod_{i}.{ext}"
+    commit = _sha(f"{repo}:0")[:40]
+    content = _GEN[lang](rng, vocab)
+    if lang in _VIRAL_SNIPPET and rng.random() < 0.6:
+        content += _VIRAL_SNIPPET[lang]
+    return repo, path, commit, lang, content
+
+
 def generate_rows(n_files: int, seed: int = SEED):
     """Yield (repo, path, commit, lang, content) deterministically."""
     vocab = symbol_vocab()
@@ -210,10 +243,11 @@ SCALES = {"smoke": 500, "correctness": 5000, "bench": 50000, "scaling": 400000}
 
 
 def write_corpus_spark(
-    spark, out_dir: str, n_files: int, seed: int = SEED, n_partitions: int = 64
+    spark, out_dir: str, n_files: int, seed: int = SEED, n_partitions: int = 64,
+    row_fn=generate_row,
 ) -> str:
     """Parallel corpus materialization: spark.range over file ids →
-    mapInPandas(generate_row) → multi-file parquet directory. Many
+    mapInPandas(row_fn) → multi-file parquet directory. Many
     output files → the downstream scan parallelizes (a single 50 MB
     parquet file is one input split and serializes the read)."""
     import pandas as pd
@@ -221,7 +255,7 @@ def write_corpus_spark(
     def gen(batches):
         vocab = symbol_vocab()
         for pdf in batches:
-            rows = [generate_row(int(i), vocab, seed) for i in pdf["id"]]
+            rows = [row_fn(int(i), vocab, seed) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"]
             )
@@ -233,6 +267,20 @@ def write_corpus_spark(
         .parquet(out_dir)
     )
     return out_dir
+
+
+def ensure_adversarial_corpus(
+    spark, n_files: int, base_dir: str = "/root/repo/data"
+) -> str:
+    """Idempotent materialization of the adversarial-skew corpus
+    (generate_row_adversarial) at an arbitrary file count."""
+    out = os.path.join(base_dir, f"repos_skew_{n_files}_v{CORPUS_VERSION}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_corpus_spark(
+            spark, out, n_files, n_partitions=max(64, n_files // 25000),
+            row_fn=generate_row_adversarial,
+        )
+    return out
 
 
 def ensure_corpus(

@@ -52,13 +52,23 @@ def salted_repartition(
     repos: DataFrame,
     num_partitions: int | None = None,
     hot_threshold: int | None = None,
-    salt_buckets: int = 16,
+    target_fraction: float = 0.25,
 ) -> DataFrame:
-    """Repartition by (repo, lang, salt), salting only hot repos.
+    """Repartition by (repo, lang, salt), salting hot repos
+    PROPORTIONALLY to their size.
 
     First pass computes per-repo file counts (tiny aggregate — one row
-    per repo); repos above `hot_threshold` (default: 4× the mean) get a
-    per-path salt so their files spread over `salt_buckets` partitions.
+    per repo); repos above `hot_threshold` (default: 4x the mean) get a
+    per-path salt over ceil(count / target) buckets, where target =
+    target_fraction x (total / num_partitions) — so no single
+    (repo, lang, salt) key outweighs a quarter of an average
+    partition, and hash placement cannot stack two heavy keys into one
+    reducer. (A FIXED salt count fails exactly on the adversarial
+    monorepo corpus: 16 salts on a 35%-of-corpus repo leave keys heavy
+    enough that birthday collisions produce 3-4x-median partitions —
+    measured in bench/skew_evidence.py, which hard-asserts
+    max <= 2x median on the planted-skew corpus.)
+
     This is the explicit skew handling the north rule requires for the
     extraction stage (AQE only fixes join/agg skew, not input skew into
     mapInPandas).
@@ -68,25 +78,28 @@ def salted_repartition(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     counts = repos.groupBy("repo").count()
+    stats = counts.agg(
+        F.avg("count").alias("avg"), F.sum("count").alias("total")
+    ).first()
     if hot_threshold is None:
-        stats = counts.agg(
-            F.avg("count").alias("avg"), F.count("*").alias("n")
-        ).first()
         hot_threshold = max(int((stats["avg"] or 0) * 4), 100)
+    target = max(
+        (stats["total"] or 0) * target_fraction / num_partitions, 1.0
+    )
     hot = counts.where(F.col("count") >= hot_threshold).select(
-        "repo", F.lit(True).alias("_hot")
+        "repo", F.ceil(F.col("count") / F.lit(target)).alias("_nsalt")
     )
     salted = (
         repos.join(F.broadcast(hot), "repo", "left")
         .withColumn(
             "_salt",
             F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64("path"), F.lit(salt_buckets)),
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64("path"), F.col("_nsalt")),
             ).otherwise(F.lit(0)),
         )
         .repartition(num_partitions, "repo", "lang", "_salt")
-        .drop("_hot", "_salt")
+        .drop("_nsalt", "_salt")
     )
     return salted
 

@@ -185,3 +185,45 @@ class TestDistributedExtraction:
             .count()
         )
         assert hot_parts > 1, "hot repo must span multiple partitions"
+
+    def test_proportional_salting_bounds_adversarial_skew(self, spark):
+        """On the adversarial corpus (ONE monorepo = 35% of files),
+        proportional salting holds every partition <= 2x the median —
+        the bench/skew_evidence.py invariant pinned at test scale —
+        while the unsalted (repo, lang) hash leaves a >2x hot
+        partition. Fixed-count salting (the pre-r05 shape) fails this:
+        heavy (repo, lang, salt) keys stack by birthday collision."""
+        import statistics
+
+        from datacapsule_spark.corpus import (
+            ADVERSARIAL_MONOREPO,
+            generate_row_adversarial,
+            symbol_vocab,
+        )
+        from datacapsule_spark.extract import salted_repartition
+
+        vocab = symbol_vocab()
+        rows = [generate_row_adversarial(i, vocab) for i in range(4000)]
+        df = spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+        assert (
+            df.where(F.col("repo") == ADVERSARIAL_MONOREPO).count() / 4000
+            >= 0.30
+        )
+
+        def spread(d):
+            cnts = sorted(
+                r["c"]
+                for r in d.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            return cnts[-1], statistics.median(cnts)
+
+        mx, med = spread(salted_repartition(df, num_partitions=32))
+        assert mx <= 2 * med, (mx, med)
+        umx, umed = spread(df.repartition(32, "repo", "lang"))
+        assert umx > 2 * umed, (umx, umed)
