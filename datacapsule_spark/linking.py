@@ -90,13 +90,24 @@ def lsh_alias_pairs(
         .withColumn("norm", normalize_name(F.col("name")))
         .where(F.length("norm") >= 3)
     )
-    # char-3-gram shingles as array<string>
-    grams = n.withColumn(
-        "grams",
-        F.expr(
-            "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"
-        ),
-    ).withColumn("grams", F.array_distinct("grams"))
+    # char-3-gram shingles as array<string>; CHECKPOINTED because the
+    # MinHashLSH machinery evaluates this plan many times (fit pass +
+    # both approxSimilarityJoin sides, each of which explodes hashes) —
+    # when `names` arrives as a lazy view over a corpus-sized boundary
+    # (the pipeline's 20_link shape), every re-execution re-runs the
+    # corpus scan + distinct: measured 151s -> 6s at 1.5M files / 204
+    # names (bench/skew_evidence.py run). The name dictionary is
+    # vocabulary-sized by design, so materializing it is always cheap.
+    grams = (
+        n.withColumn(
+            "grams",
+            F.expr(
+                "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"
+            ),
+        )
+        .withColumn("grams", F.array_distinct("grams"))
+        .localCheckpoint(eager=True)
+    )
 
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
     feat = tf.transform(grams)
@@ -123,11 +134,8 @@ def lsh_alias_pairs(
         ).drop("ga", "gb")
         return rescored.where(F.col("score") >= min_rescore)
 
-    # TF-IDF cosine: idf from the name dictionary's gram dfs.
-    # grams feeds the count, the idf agg, the norms, and (via pairs)
-    # the LSH join; idf feeds norms and dots — checkpoint both so the
-    # normalize+shingle pipeline runs once, not ~4 times
-    grams = grams.localCheckpoint(eager=False)
+    # TF-IDF cosine: idf from the name dictionary's gram dfs (grams is
+    # already checkpointed above; idf feeds norms and dots)
     n_names = grams.count()
     idf = (
         grams.select(F.explode("grams").alias("g"))
@@ -183,10 +191,16 @@ def alias_pairs(
 ) -> DataFrame:
     """Union of the exact-normal-form tier and (optionally) the LSH
     tier; score_fn selects the LSH tier's exact re-score (see
-    lsh_alias_pairs)."""
-    exact = exact_norm_alias_pairs(names, name_col)
+    lsh_alias_pairs). The deduped name dictionary is materialized ONCE
+    here when both tiers run — `names` is typically a lazy view over a
+    corpus-sized boundary, and each tier would otherwise re-run that
+    scan + distinct."""
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    if use_lsh:
+        n = n.localCheckpoint(eager=True)
+    exact = exact_norm_alias_pairs(n)
     if not use_lsh:
         return exact
     return exact.unionByName(
-        lsh_alias_pairs(names, name_col, score_fn=score_fn)
+        lsh_alias_pairs(n, score_fn=score_fn)
     ).dropDuplicates(["a", "b"])
