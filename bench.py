@@ -62,7 +62,11 @@ def main() -> None:
     quick = "--quick" in sys.argv
     repeats = 2
     if "--repeats" in sys.argv:
-        repeats = max(1, int(sys.argv[sys.argv.index("--repeats") + 1]))
+        try:
+            repeats = max(1, int(sys.argv[sys.argv.index("--repeats") + 1]))
+        except (IndexError, ValueError):
+            print("usage: bench.py [--quick] [--repeats N]", file=sys.stderr)
+            sys.exit(2)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -186,6 +186,16 @@ def find_motif(
             if e:
                 cols.append(F.col(relation).alias(f"__rel{i}"))
             term_df = term_src.select(*cols)  # pruned projection per term
+        if a and a == b:
+            # self-referential term, e.g. '(a)-[]->(a)' (self-loop) or
+            # '(a)-[*1..3]->(a)' (cycle membership): the src==dst
+            # equality must hold INSIDE the term — the name-unification
+            # loop below only fires for names already bound by EARLIER
+            # terms, so without this a first-binding self-term would
+            # silently match every edge/walk
+            term_df = term_df.where(
+                F.col(f"__src{i}") == F.col(f"__dst{i}")
+            )
         if result is None:
             result = term_df
         else:

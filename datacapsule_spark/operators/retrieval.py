@@ -108,6 +108,22 @@ def append_bm25_index(
     )
 
 
+def _require_versioned(spark: SparkSession, path: str) -> None:
+    """Mutating a PRE-versioning index (doclens without _version)
+    would mix parquet schemas: spark.read.parquet resolves ONE
+    footer's schema, so depending on which file wins, legacy docs
+    either all stop scoring (read NULL _version, fail the resolution
+    join) or superseded rows silently survive. Refuse up front with
+    the migration path instead of corrupting reads."""
+    if "_version" not in spark.read.parquet(f"{path}/doclens").columns:
+        raise ValueError(
+            f"{path} is a pre-versioning BM25 index (doclens has no "
+            "_version column) — rebuild it with build_bm25_index (which "
+            "writes the versioned layout) before upserting/deleting; "
+            "read-only queries on the legacy layout keep working"
+        )
+
+
 def upsert_bm25_index(
     docs: DataFrame,
     path: str,
@@ -124,8 +140,10 @@ def upsert_bm25_index(
     path — exactly vector_store.upsert's contract). Versions are
     caller-supplied and must be STRICTLY higher than any prior version
     of the same doc; re-upserting a doc at an unchanged version is
-    undefined (both copies' postings would resolve)."""
+    undefined (both copies' postings would resolve). Pre-versioning
+    indexes are refused (see _require_versioned)."""
     spark = docs.sparkSession
+    _require_versioned(spark, path)
     n_buckets = spark.read.parquet(f"{path}/stats").collect()[0]["n_buckets"]
     build_bm25_index(
         docs, path, n_buckets=n_buckets, text_col=text_col,
@@ -139,7 +157,9 @@ def delete_bm25_docs(
     """Append doclens tombstones for `ids` at `version` — the docs stop
     scoring immediately (their postings fail the version-resolution
     join); O(batch) I/O, no postings touched. Same-version ties
-    resolve tombstone-wins, like vector_store.read."""
+    resolve tombstone-wins, like vector_store.read. Pre-versioning
+    indexes are refused (see _require_versioned)."""
+    _require_versioned(spark, path)
     tomb = spark.createDataFrame(
         [(i,) for i in ids],
         spark.read.parquet(f"{path}/doclens").select("doc_id").schema,

@@ -1011,8 +1011,10 @@ def text_bm25_index_topk(spark, sf_dir):
     partitions (PartitionFilters plan-tested). Same formula as
     text_bm25_topk, so the oracle is the same SQL twin with this
     query's terms — the driver row witnesses build → prune → score."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from .operators.retrieval import bm25_index_topk, build_bm25_index
@@ -1023,7 +1025,8 @@ def text_bm25_index_topk(spark, sf_dir):
     # files lazily so the dir cannot be deleted before the driver
     # collects. The applicationId keeps concurrent sessions (pytest
     # alongside validate_queries) from overwriting each other's index
-    # mid-read.
+    # mid-read; the atexit hook removes this session's copy so the
+    # per-session granularity doesn't re-leak one index per process.
     idx = os.path.join(
         tempfile.gettempdir(),
         "bm25_gate_idx_{}_{}".format(
@@ -1031,6 +1034,8 @@ def text_bm25_index_topk(spark, sf_dir):
             hashlib.md5(sf_dir.encode()).hexdigest()[:8],
         ),
     )
+    if not os.path.exists(idx):
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
     build_bm25_index(_docs(spark, sf_dir), idx, n_buckets=16)
     return bm25_index_topk(spark, idx, ["table", "scan"], k=10)
 

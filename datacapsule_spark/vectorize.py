@@ -347,9 +347,17 @@ def ann_recall_at_k(
         indexed, centroids, queries, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", id_col)
+    # cosine_topk_batch hardcodes (id, embedding) — alias the exact
+    # side's columns to that contract so non-default id_col/vec_col
+    # tie-break and score on the RIGHT columns instead of crashing (or
+    # worse, silently ranking by an unrelated 'id' column)
     exact = cosine_topk_batch(
-        indexed.drop("list_id"), queries, k=k
-    ).select("query_id", id_col)
+        indexed.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")
+        ),
+        queries,
+        k=k,
+    ).select("query_id", F.col("id").alias(id_col))
     hits = exact.join(
         approx.withColumn("_hit", F.lit(1)), ["query_id", id_col], "left"
     )

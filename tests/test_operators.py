@@ -634,6 +634,29 @@ class TestText:
             for r in bm25_index_topk(spark, idx, ["stream"], k=10).collect()
         )
 
+        # legacy (pre-versioning) index: reads keep working, mutation
+        # is REFUSED (mixed schemas would silently corrupt resolution)
+        import os
+        import shutil
+
+        legacy = str(tmp_path / "legacy_idx")
+        build_bm25_index(spark.createDataFrame(v0, schema), legacy, n_buckets=8)
+        old_rows = (
+            spark.read.parquet(legacy + "/doclens")
+            .drop("_version", "_deleted")
+            .toPandas()
+        )
+        shutil.rmtree(os.path.join(legacy, "doclens"))
+        spark.createDataFrame(old_rows).write.parquet(legacy + "/doclens")
+        # docs 0 and 4 contain 'spark' — the legacy read path still works
+        assert bm25_index_topk(spark, legacy, ["spark"], k=3).count() == 2
+        with pytest.raises(ValueError, match="pre-versioning"):
+            upsert_bm25_index(
+                spark.createDataFrame(changed, schema), legacy, version=1
+            )
+        with pytest.raises(ValueError, match="pre-versioning"):
+            delete_bm25_docs(spark, legacy, [3], version=1)
+
     def test_chunk_documents_windows(self, spark):
         from datacapsule_spark.operators.text import chunk_documents
 
@@ -1865,6 +1888,19 @@ class TestMotif:
         # the d-tail NOT reaching anything 2 out
         no_back = find_motif(g, "(u)-[]->(v); !(v)-[*1..2]->(u)").count()
         assert no_back == g.count()  # DAG: nothing walks back
+
+        # self-referential terms (first binding): '(a)-[]->(a)' is only
+        # self-loops, '(a)-[*1..2]->(a)' only cycle members — without
+        # the in-term src==dst constraint these would match everything
+        gc = spark.createDataFrame(
+            [("a", "e", "b"), ("b", "e", "a"), ("c", "e", "d"), ("s", "e", "s")],
+            "src string, relation string, dst string",
+        )
+        loops = {r["n"] for r in find_motif(gc, "(n)-[]->(n)").collect()}
+        assert loops == {"s"}
+        cyc = {r["n"] for r in find_motif(gc, "(n)-[*1..2]->(n)").collect()}
+        assert cyc == {"a", "b", "s"}
+        assert find_motif(g, "(n)-[*1..3]->(n)").count() == 0  # DAG
 
         # validation: unbounded / zero bounds raise
         with pytest.raises(ValueError, match="upper bound"):
