@@ -54,6 +54,12 @@ HEADLINE = [
     "text_bm25_topk",
     "events_funnel",
     "text_lm_perplexity",
+    # new in r05: personalized PageRank, the ANN recall screen (index
+    # build + probe + exact compare in one job) and variable-length
+    # motif reachability (compare per-query across rounds, not totals)
+    "graph_ppr_cosupply",
+    "vector_ann_recall",
+    "graph_motif_varlen_reach",
 ]
 
 

@@ -164,7 +164,36 @@ def test_motif_connected_pattern_no_cartesian(spark):
     assert r.nested_loop_joins == 0, r.text
 
 
-def test_boilerplate_strip_broadcasts_boiler_set(spark):
+def test_motif_varlen_reach_no_cartesian(spark):
+    """The bounded-reachability closure and the anti-join it feeds must
+    stay keyed joins — no CartesianProduct / nested loop even with the
+    per-level dedup'd self-joins."""
+    r = explain_report(QUERIES["graph_motif_varlen_reach"](spark, SF))
+    assert r.cartesian_products == 0, r.text
+    assert r.nested_loop_joins == 0, r.text
+
+
+def test_personalized_pagerank_plan_depth_constant(spark):
+    """The iterative loops' load-bearing plan property: after any
+    number of rounds the RETURNED plan is a single checkpoint scan
+    (zero exchanges, no join tower) — the eager localCheckpoint
+    truncation that lets 20 rounds run on a 10^9-edge graph without a
+    20-level plan. Checked for PPR and (same machinery) pagerank."""
+    from datacapsule_spark.operators.graph_stats import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 23) for i in range(40)], "src long, dst long"
+    )
+    for df in (
+        personalized_pagerank(edges, [0, 1], max_iter=3),
+        pagerank(edges, max_iter=3),
+    ):
+        r = explain_report(df)
+        assert r.exchanges == 0, r.text
+        assert "Scan ExistingRDD" in r.text, r.text
     """The global df-filtered boilerplate set must come back as a
     BROADCAST join — the corpus-sized segment table is never
     re-shuffled for the strip."""
