@@ -108,6 +108,76 @@ def append_bm25_index(
     )
 
 
+def _resolved_doclens(spark: SparkSession, path: str) -> DataFrame:
+    """Resolved view of the doclens version log: latest (doc_id,
+    _version) wins, tombstones dropped — vector_store.read's window.
+    Pre-versioning layouts read as everything-at-version-0. Keeps the
+    _version column (postings resolve through it)."""
+    from pyspark.sql import Window
+
+    dl_raw = spark.read.parquet(f"{path}/doclens")
+    if "_version" not in dl_raw.columns:
+        return dl_raw.withColumn("_version", F.lit(0).cast("long"))
+    wv = Window.partitionBy("doc_id").orderBy(
+        F.desc("_version"), F.desc("_deleted")
+    )
+    return (
+        dl_raw.withColumn("_rn", F.row_number().over(wv))
+        .where((F.col("_rn") == 1) & (~F.col("_deleted")))
+        .drop("_rn", "_deleted")
+    )
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> int:
+    """Fold the version log into a resolved snapshot: superseded and
+    tombstoned doclens rows AND their postings are physically removed,
+    everything restamped version 0, stats reset to one row. The
+    maintenance job, not the write path (vector_store.compact's
+    contract; on Iceberg this is rewrite_data_files + snapshot
+    expiry). Queries before and after are identical by construction —
+    the read path resolves to the same live set either way
+    (pytest-pinned). Swap is rename-aside like layout.compact_dataset:
+    a full copy of the index exists on disk at every instant. Returns
+    the live doc count."""
+    import os
+    import shutil
+
+    n_buckets = (
+        spark.read.parquet(f"{path}/stats").agg(F.max("n_buckets")).collect()[0][0]
+    )
+    doclens = _resolved_doclens(spark, path)
+    post = spark.read.parquet(f"{path}/postings")
+    if "_version" not in post.columns:
+        post = post.withColumn("_version", F.lit(0).cast("long"))
+    live_post = post.join(
+        doclens.select("doc_id", "_version"), ["doc_id", "_version"]
+    )
+
+    tmp = f"{path}__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        live_post.withColumn("_version", F.lit(0).cast("long"))
+        .write.partitionBy("bucket")
+        .parquet(f"{tmp}/postings")
+    )
+    resolved_dl = (
+        doclens.withColumn("_version", F.lit(0).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    resolved_dl.write.parquet(f"{tmp}/doclens")
+    resolved_dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn("n_buckets", F.lit(int(n_buckets))).write.parquet(f"{tmp}/stats")
+    n = spark.read.parquet(f"{tmp}/doclens").count()
+
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def _require_versioned(spark: SparkSession, path: str) -> None:
     """Mutating a PRE-versioning index (doclens without _version)
     would mix parquet schemas: spark.read.parquet resolves ONE
@@ -200,20 +270,7 @@ def bm25_index_topk(
     # constants from the RESOLVED view, so upserted/deleted docs are
     # excluded from n/avgdl too, not just from scoring. doclens is one
     # skinny row per live doc; at scale write it bucketed by doc_id
-    from pyspark.sql import Window
-
-    dl_raw = spark.read.parquet(f"{path}/doclens")
-    if "_version" in dl_raw.columns:
-        wv = Window.partitionBy("doc_id").orderBy(
-            F.desc("_version"), F.desc("_deleted")
-        )
-        doclens = (
-            dl_raw.withColumn("_rn", F.row_number().over(wv))
-            .where((F.col("_rn") == 1) & (~F.col("_deleted")))
-            .drop("_rn", "_deleted")
-        )
-    else:  # pre-versioning index layout: everything is version 0
-        doclens = dl_raw.withColumn("_version", F.lit(0).cast("long"))
+    doclens = _resolved_doclens(spark, path)
     cstats = doclens.agg(
         F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
     ).collect()[0]

@@ -634,6 +634,36 @@ class TestText:
             for r in bm25_index_topk(spark, idx, ["stream"], k=10).collect()
         )
 
+        # compaction folds the log: queries identical before/after, the
+        # raw doclens shrinks to one live version-0 row per doc (no
+        # tombstones, no superseded versions), postings drop the
+        # superseded doc-1 rows
+        from datacapsule_spark.operators.retrieval import compact_bm25_index
+
+        before = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_index_topk(
+                spark, idx, ["spark", "join", "stream"], k=10
+            ).collect()
+        ]
+        n_live = compact_bm25_index(spark, idx)
+        assert n_live == len(final)
+        after = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_index_topk(
+                spark, idx, ["spark", "join", "stream"], k=10
+            ).collect()
+        ]
+        assert after == before
+        raw_dl = spark.read.parquet(idx + "/doclens")
+        assert raw_dl.count() == len(final)
+        assert raw_dl.where("_deleted OR _version != 0").count() == 0
+        raw_post = spark.read.parquet(idx + "/postings")
+        assert raw_post.where("doc_id = 3").count() == 0  # deleted doc
+        assert (  # doc 1's superseded v0 'join' postings are gone
+            raw_post.where("doc_id = 1 AND tok = 'join'").count() == 0
+        )
+
         # legacy (pre-versioning) index: reads keep working, mutation
         # is REFUSED (mixed schemas would silently corrupt resolution)
         import os
