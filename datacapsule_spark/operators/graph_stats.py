@@ -194,6 +194,58 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities → (node, label).
+
+    Deterministic by construction: labels start as node ids; each
+    round EVERY node simultaneously adopts the most frequent label
+    among its neighbors (undirected), ties broken by the smaller
+    label. Runs a FIXED max_iter rounds — synchronous LPA can
+    oscillate (bipartite structures flip forever), so a fixed round
+    budget is the deterministic, oracle-able choice, same as
+    GraphFrames' labelPropagation.
+
+    Per round: one join of labels onto the (pre-materialized)
+    undirected edge list, one (node, label) count aggregation, one
+    per-node window pick; eager localCheckpoint keeps the plan O(1)
+    deep across rounds — the same loop shape as pagerank/k_core."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(max_iter):
+        votes = und.join(labels, und.v == labels.node).select("u", "label")
+        labels = (
+            votes.groupBy("u", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds,

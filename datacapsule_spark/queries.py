@@ -1366,6 +1366,21 @@ def graph_ppr_cosupply(spark, sf_dir):
     )
 
 
+def graph_lpa_cosupply(spark, sf_dir):
+    """Label-propagation communities (operators/graph_stats.
+    label_propagation — synchronous, min-label tie-break, FIXED 4
+    rounds so both engines are deterministic) over the sparse
+    co-supply graph. Complements connected components: LPA splits a
+    component into densely-linked communities. Oracle: recursive CTE
+    replaying the identical vote (GROUP BY + window in the recursive
+    term — the working-table semantics proven on the PageRank
+    oracle)."""
+    from .operators.graph_stats import label_propagation
+
+    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    return label_propagation(pairs, max_iter=4)
+
+
 def graph_components_cosupply(spark, sf_dir):
     """Distributed connected components — the engine's G5
     canonicalization primitive (canonicalize.py:27, the alternating
@@ -1564,6 +1579,7 @@ QUERIES = {
     "graph_ppr_cosupply": graph_ppr_cosupply,
     "vector_ann_recall": vector_ann_recall,
     "graph_motif_varlen_reach": graph_motif_varlen_reach,
+    "graph_lpa_cosupply": graph_lpa_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3093,6 +3109,44 @@ _o("vector_ann_recall")(
 SELECT 5 AS k, 8 AS n_probe,
        (SELECT count(*) FROM embeddings WHERE vec_id < 3)::BIGINT AS n_queries,
        1.0::DOUBLE AS recall
+"""
+)
+
+_o("graph_lpa_cosupply")(
+    # synchronous LPA replay: each recursive step recomputes every
+    # node's vote from the PREVIOUS iteration's labels (working-table
+    # semantics), most-frequent neighbor label, tie -> smaller label,
+    # fixed 4 rounds — identical rules to graph_stats.label_propagation
+    """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 50 AND l2.l_quantity >= 50
+),
+ud AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+  ) WHERE u <> v
+),
+it(iter, node, label) AS (
+  SELECT 0, u, u FROM (SELECT DISTINCT u FROM ud)
+  UNION ALL
+  SELECT r.iter + 1, t.u, t.label
+  FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+    FROM (
+      SELECT ud.u, it.label, count(*) AS c
+      FROM ud JOIN it ON ud.v = it.node
+      GROUP BY ud.u, it.label
+    )
+  ) t
+  CROSS JOIN (SELECT DISTINCT iter FROM it) r
+  WHERE t.rn = 1 AND r.iter < 4
+)
+SELECT node, label FROM it WHERE iter = 4
 """
 )
 

@@ -1617,6 +1617,40 @@ class TestGraphStats:
         with pytest.raises(ValueError, match="not nodes of the graph"):
             personalized_pagerank(df, [3, 123456], max_iter=1)
 
+    def test_label_propagation_communities(self, spark):
+        """Two cliques joined by one bridge edge: every node converges
+        to its clique's min label (the bridge can't outvote the
+        clique); deterministic across runs; plus a hand-computed
+        1-round example pinning the min-label tie-break."""
+        from datacapsule_spark.operators.graph_stats import label_propagation
+
+        cliques = []
+        for base in (0, 10):
+            ids = [base + i for i in range(4)]
+            cliques += [(a, b) for a in ids for b in ids if a < b]
+        cliques.append((3, 10))  # bridge
+        df = spark.createDataFrame(cliques, "a long, b long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, max_iter=6).collect()
+        }
+        assert {got[i] for i in (0, 1, 2, 3)} == {0}
+        assert {got[i] for i in (10, 11, 12, 13)} == {10}
+        again = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, max_iter=6).collect()
+        }
+        assert again == got  # deterministic
+
+        # 1 round on a path 1-2-3: every neighbor label is unique, so
+        # the tie-break picks the SMALLEST neighbor label
+        path = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        one = {
+            r["node"]: r["label"]
+            for r in label_propagation(path, max_iter=1).collect()
+        }
+        assert one == {1: 2, 2: 1, 3: 2}
+
     def test_k_core_matches_networkx(self, spark):
         """k_core (parallel peeling) == NetworkX's k_core node set on a
         random graph for k = 2 and 3, plus the empty-core edge case."""
