@@ -342,11 +342,22 @@ def near_dedup(
     rows_per_band: int = 4,
     min_jaccard: float | None = None,
     hash_fn: str = "md5",
+    keep_best_col: str | None = None,
 ) -> DataFrame:
     """Surviving corpus after MinHash-LSH near-dup removal: banded LSH
     candidate pairs → (optional) exact n-gram Jaccard gate → connected
-    components → keep the minimum id per duplicate cluster, drop the
-    rest with one anti-join.
+    components → keep ONE doc per duplicate cluster, drop the rest
+    with one anti-join.
+
+    The kept member is the minimum id by default. keep_best_col names
+    a numeric column (a quality score — text.quality,
+    code_quality, lm_score...) and keeps the HIGHEST-scoring member
+    instead (ties → min id, so still deterministic) — the production
+    training-data shape: near-dup clusters usually mix a clean
+    original with mangled copies, and min-id keeps an arbitrary one.
+    Implemented as one extra broadcast-scale join of the (pair-set-
+    sized) cluster mapping onto the scores + a per-cluster max_by —
+    the corpus is still touched only by the final anti-join.
 
     min_jaccard=None accepts every LSH collision (cheap, slightly
     over-drops); set a threshold to re-score candidates exactly before
@@ -368,9 +379,28 @@ def near_dedup(
             docs, pairs, text_col, id_col, shingle_n, min_jaccard
         ).select("a", "b")
     mapping = connected_components(pairs, "a", "b")
-    losers = mapping.where(F.col("node_id") != F.col("canonical_id")).select(
-        F.col("node_id").alias(id_col)
-    )
+    if keep_best_col is not None:
+        scored = mapping.join(
+            docs.select(
+                F.col(id_col).alias("node_id"), F.col(keep_best_col).alias("_s")
+            ),
+            "node_id",
+        )
+        winners = scored.groupBy("canonical_id").agg(
+            # max score, ties -> min id: min_by on (-score, id) struct
+            F.min_by(
+                "node_id", F.struct((-F.col("_s")).alias("s"), F.col("node_id"))
+            ).alias("_keep")
+        )
+        losers = (
+            mapping.join(winners, "canonical_id")
+            .where(F.col("node_id") != F.col("_keep"))
+            .select(F.col("node_id").alias(id_col))
+        )
+    else:
+        losers = mapping.where(
+            F.col("node_id") != F.col("canonical_id")
+        ).select(F.col("node_id").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
 
 

@@ -621,6 +621,22 @@ def dedup_lsh_jaccard_docs(spark, sf_dir):
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def dedup_keep_best_docs(spark, sf_dir):
+    """near_dedup's keep-BEST mode driver-gated (r05): the surviving
+    corpus after MinHash-LSH + 0.5-Jaccard-gated clustering, keeping
+    each cluster's LONGEST doc (n_chars as the deterministic quality
+    proxy; ties → min id) instead of min id — the production
+    training-data shape: a near-dup cluster usually mixes a clean
+    original with mangled copies, and min-id keeps an arbitrary one.
+    Oracle replays the banding, the Jaccard gate, the reachability
+    closure, and the argmax-with-tie keep rule."""
+    from .operators.dedup import near_dedup
+
+    d = _docs(spark, sf_dir)
+    out = near_dedup(d, min_jaccard=0.5, keep_best_col="n_chars")
+    return out.select("doc_id", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # Text analysis suite over `documents`
 # --------------------------------------------------------------------------
@@ -1580,6 +1596,7 @@ QUERIES = {
     "vector_ann_recall": vector_ann_recall,
     "graph_motif_varlen_reach": graph_motif_varlen_reach,
     "graph_lpa_cosupply": graph_lpa_cosupply,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2072,6 +2089,49 @@ SELECT c.a, c.b,
 FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
 WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE /
       len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.5
+"""
+)
+
+_o("dedup_keep_best_docs")(
+    # banding + 0.5 Jaccard gate + reachability closure, then keep the
+    # argmax-n_chars member per component (ties -> min id); docs with
+    # no gated pair survive trivially (they never enter the closure)
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _MINHASH_BANDS_CTE
+    + """
+, cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+jp AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE /
+        len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.5
+),
+ud AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp
+  )
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM ud
+  UNION
+  SELECT ud.u, reach.r FROM ud JOIN reach ON ud.v = reach.u
+),
+canon AS (SELECT u AS node, min(r) AS cid FROM reach GROUP BY u),
+keep AS (
+  SELECT node FROM (
+    SELECT c.node,
+           row_number() OVER (PARTITION BY c.cid
+                              ORDER BY d.n_chars DESC, c.node ASC) AS rn
+    FROM canon c JOIN documents d ON d.doc_id = c.node
+  ) WHERE rn = 1
+),
+losers AS (SELECT node FROM canon WHERE node NOT IN (SELECT node FROM keep))
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
 """
 )
 

@@ -1336,6 +1336,28 @@ class TestCuration:
         gated = {r["doc_id"] for r in near_dedup(docs, min_jaccard=0.9).collect()}
         assert gated == {0, 1, 3, 4, 5, 6}
 
+    def test_near_dedup_keep_best(self, spark):
+        """keep_best_col keeps the highest-scoring cluster member (not
+        min id); ties fall back to min id; singletons untouched."""
+        from datacapsule_spark.operators.dedup import near_dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        rows = [
+            (0, base, 1.0),
+            (1, base, 9.0),            # same text, best score -> wins
+            (2, base, 9.0),            # tie with 1 -> 1 wins (min id)
+            (3, "totally different words entirely " * 8, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        kept = {
+            r["doc_id"]
+            for r in near_dedup(df, keep_best_col="q").collect()
+        }
+        assert kept == {1, 3}
+        # default min-id rule unchanged
+        kept_min = {r["doc_id"] for r in near_dedup(df).collect()}
+        assert kept_min == {0, 3}
+
     def test_chunk_strip_roundtrip(self, spark):
         """With min_docs above the corpus size nothing is boilerplate:
         chunk(8,8) -> strip reassembles the whitespace-normalized text
