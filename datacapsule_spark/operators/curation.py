@@ -336,6 +336,7 @@ def temperature_mix(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixing (the mT5/multilingual-sampling rule):
     target share of source s ∝ count(s)^alpha — alpha < 1 flattens the
@@ -346,6 +347,14 @@ def temperature_mix(
     applied by the same md5-threshold rule as sample_by_hash, so the
     kept set is deterministic, engine-reproducible, and nests as alpha
     rises toward 1. Downsample-only: tail sources keep everything.
+
+    weight_col (r05): mix by MASS instead of doc count — production
+    mixes weigh sources by tokens/bytes, not documents (a source of
+    few huge files otherwise reads as a tail). Shares become
+    W_s^alpha / Σ W_t^alpha with W_s = sum(weight); the keep decision
+    stays per-doc (same hash rule), so the EXPECTED kept mass matches
+    the target share; per-doc weight variance averages out at corpus
+    scale.
 
     One aggregation for counts, a 1-row broadcast for the normalizer,
     a broadcast rates dim joined back (swap for a shuffle join if the
@@ -358,8 +367,13 @@ def temperature_mix(
     # on a coalesced key instead
     skey = F.coalesce(F.col(source_col).cast("string"), F.lit(" <null>"))
     docs_k = docs.withColumn("_srckey", skey)
+    mass = (
+        F.sum(F.col(weight_col)).cast("double")
+        if weight_col
+        else F.count("*").cast("double")
+    )
     counts = docs_k.groupBy("_srckey").agg(
-        F.count("*").alias("_cnt")
+        mass.alias("_cnt")
     ).localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("_cnt").cast("double").alias("_N"),

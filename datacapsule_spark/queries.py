@@ -779,6 +779,21 @@ def curation_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def curation_temperature_mix_chars(spark, sf_dir):
+    """Mass-weighted temperature mixing (r05 weight_col): sources
+    weigh by total n_chars instead of doc count — the production rule
+    (mix by tokens/bytes; a source of few huge files is a HEAD source
+    even though its doc count says tail). Same in-plan share math and
+    md5 sampler, W_s = sum(n_chars)."""
+    from .operators.curation import temperature_mix
+
+    out = temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.5, salt="tw",
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "source")
+
+
 def curation_pipeline_docs(spark, sf_dir):
     """The COMPOSED curation flow end-to-end, gated as one query —
     exact dedup (keep min id per content) → benchmark holdout split
@@ -1597,6 +1612,7 @@ QUERIES = {
     "graph_motif_varlen_reach": graph_motif_varlen_reach,
     "graph_lpa_cosupply": graph_lpa_cosupply,
     "dedup_keep_best_docs": dedup_keep_best_docs,
+    "curation_temperature_mix_chars": curation_temperature_mix_chars,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2726,6 +2742,29 @@ FROM (
          ('0x' || substr(md5('sp' || doc_id::VARCHAR), 1, 8))::UBIGINT AS h
   FROM clean
 )
+"""
+)
+
+_o("curation_temperature_mix_chars")(
+    # the doc-count oracle with counts swapped for sum(n_chars) mass
+    # (coalesced NULL-source key, same md5 threshold rule, salt "tw")
+    """
+WITH counts AS (
+  SELECT coalesce(source, ' <null>') AS skey,
+         sum(n_chars)::DOUBLE AS cnt
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS n, sum(pow(cnt, 0.5)) AS s FROM counts
+),
+rates AS (
+  SELECT c.skey,
+         floor(least(1.0, pow(c.cnt, 0.5) / tot.s * tot.n / c.cnt)
+               * 4294967296.0)::BIGINT AS thr
+  FROM counts c CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON coalesce(d.source, ' <null>') = r.skey
+WHERE ('0x' || substr(md5('tw' || d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 """
 )
 

@@ -1068,6 +1068,35 @@ class TestCuration:
         assert {r["doc_id"] for r in kept} == {1, 2, 3}
         assert {r["source"] for r in kept} == {"s", None}
 
+    def test_temperature_mix_weighted_by_mass(self, spark):
+        """weight_col mixes by MASS: a source of 10 huge docs (90% of
+        corpus mass) downsamples at alpha=0 toward the uniform MASS
+        share even though its doc count says tail; by doc count the
+        same source keeps everything. alpha=1 stays identity."""
+        from datacapsule_spark.operators.curation import temperature_mix
+
+        rows = [(i, "huge", 9000) for i in range(10)] + [
+            (100 + i, "small", 10) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+        by_count = temperature_mix(df, alpha=0.0).groupBy("source").count()
+        bc = {r["source"]: r["count"] for r in by_count.collect()}
+        assert bc["huge"] == 10  # tail by doc count: keeps all
+
+        by_mass = temperature_mix(df, alpha=0.0, weight_col="w")
+        bm = {
+            r["source"]: r["count"]
+            for r in by_mass.groupBy("source").count().collect()
+        }
+        # uniform mass target = 45.5k per source; huge holds 90k ->
+        # rate ~0.5; small keeps everything
+        assert bm.get("small", 0) == 100
+        assert 2 <= bm.get("huge", 0) <= 8
+
+        full = temperature_mix(df, alpha=1.0, weight_col="w").count()
+        assert full == len(rows)  # identity at alpha=1
+
     def test_corpus_balance_exact_equals_approx(self, spark):
         """corpus_balance's percentile regimes (r04 VERDICT item 6):
         approx_percentile agrees with exact at sf0.01 (groups smaller
