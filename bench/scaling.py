@@ -166,7 +166,7 @@ def _finish(r8: dict, r32: dict) -> None:
     }
     print(json.dumps(summary))
 
-    md = f"""# BENCH — scaling evidence (north rule)
+    md = f"""## Current scaling measurement
 
 Same job, same input ({r8['files']} synthetic source files,
 {r8['triples']} raw triples), two parallelism levels in fresh JVMs,
@@ -204,8 +204,30 @@ full-pipeline number: extraction scales ~2.8x on 4x cores, the
 canonical-edges shuffle+write ~1.8x (disk-bound), CC is ~2.5s flat at
 either level (was ~60s of per-round job latency before the fast path).
 """
-    with open(os.path.join(REPO, "bench", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # marker-delimited replace: BASELINE.md also carries the codec A/B,
+    # per-stage decomposition and adversarial-skew sections — a full
+    # overwrite would destroy them
+    path = os.path.join(REPO, "bench", "BASELINE.md")
+    BEGIN, END = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    section = BEGIN + "\n" + md.strip() + "\n" + END
+    try:
+        with open(path) as f:
+            existing = f.read()
+    except FileNotFoundError:
+        existing = "# BENCH — scaling evidence (north rule)\n"
+    if BEGIN in existing and END in existing:
+        existing = (
+            existing[: existing.index(BEGIN)]
+            + section
+            + existing[existing.index(END) + len(END):]
+        )
+    else:
+        # first run with markers: insert right below the title line
+        lines = existing.splitlines()
+        lines.insert(1, "\n" + section)
+        existing = "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(existing)
 
 
 if __name__ == "__main__":
