@@ -186,6 +186,121 @@ def gopher_quality(
     )
 
 
+def repetition_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+    para_sep: str = r"\n{2,}",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """The full Gopher repetition suite (arXiv:2112.11446 Table A1) —
+    the screens gopher_quality's top_bigram_frac only samples:
+
+    - dup_line_frac / dup_para_frac: fraction of line (paragraph)
+      slots occupied by a line (paragraph) that occurs more than once
+      in the document — ALL occurrences of a duplicated unit count
+      (rule: < 0.30);
+    - dup_line_char_frac / dup_para_char_frac: the same, weighted by
+      characters (rule: < 0.20) — catches one huge duplicated block
+      that the count-based fraction underweights;
+    - top_{n}_gram_char_frac for n in ngram_ns: characters covered by
+      the most frequent word n-gram (count × gram length, spaces
+      included) over total characters (rules: n=2 < 0.20, n=3 < 0.18,
+      n=4 < 0.16).  Ties on count break to the longest gram, then
+      lexicographic — deterministic on both engines.
+
+    Every aggregation is keyed on doc_id (or (doc_id, unit)), so the
+    shuffles carry doc-local keys: no global hot key exists at any
+    corpus size, and each of the 2 + len(ngram_ns) unit streams is a
+    single map→partial-agg→final-agg pass.  Empty docs and docs
+    shorter than n tokens left-join back as 0 fractions.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).alias("_nc")
+    )
+
+    def unit_dup(sep: str, prefix: str) -> DataFrame:
+        per_unit = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.filter(
+                        F.split(F.col(text_col), sep), lambda u: u != ""
+                    )
+                ).alias("u"),
+            )
+            .groupBy("doc_id", "u")
+            .agg(F.count("*").alias("c"))
+            .select("doc_id", "c", F.length("u").alias("ul"))
+        )
+        dup = F.col("c") > 1
+        return per_unit.groupBy("doc_id").agg(
+            F.sum("c").alias(f"n_{prefix}"),
+            (
+                F.sum(F.when(dup, F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias(f"_{prefix}_df"),
+            (
+                F.sum(F.when(dup, F.col("c") * F.col("ul")).otherwise(0))
+                / F.greatest(F.sum(F.col("c") * F.col("ul")), F.lit(1))
+            ).alias(f"_{prefix}_cf"),
+        )
+
+    out = base.join(unit_dup(line_sep, "lines"), "doc_id", "left").join(
+        unit_dup(para_sep, "paras"), "doc_id", "left"
+    )
+
+    for n in ngram_ns:
+        counts = (
+            shingle_rows(docs, text_col, id_col, n=n, distinct=False)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("c"), F.desc(F.length("g")), F.asc("g")
+        )
+        top = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id", (F.col("c") * F.length("g")).alias(f"_cov{n}")
+            )
+        )
+        out = out.join(top, "doc_id", "left")
+
+    frac = lambda c: F.round(F.coalesce(c, F.lit(0.0)), 6)  # noqa: E731
+    top_cols = [
+        frac(F.col(f"_cov{n}") / F.greatest("_nc", F.lit(1))).alias(
+            f"top_{n}gram_char_frac"
+        )
+        for n in ngram_ns
+    ]
+    thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
+    passes = (
+        (F.coalesce(F.col("_lines_df"), F.lit(0.0)) < 0.30)
+        & (F.coalesce(F.col("_paras_df"), F.lit(0.0)) < 0.30)
+        & (F.coalesce(F.col("_lines_cf"), F.lit(0.0)) < 0.20)
+        & (F.coalesce(F.col("_paras_cf"), F.lit(0.0)) < 0.20)
+    )
+    for n in ngram_ns:
+        passes = passes & (
+            F.coalesce(F.col(f"_cov{n}") / F.greatest("_nc", F.lit(1)), F.lit(0.0))
+            < thresholds.get(n, 0.20)
+        )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        frac(F.col("_lines_df")).alias("dup_line_frac"),
+        frac(F.col("_lines_cf")).alias("dup_line_char_frac"),
+        F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+        frac(F.col("_paras_df")).alias("dup_para_frac"),
+        frac(F.col("_paras_cf")).alias("dup_para_char_frac"),
+        *top_cols,
+        passes.alias("passes_repetition"),
+    )
+
+
 # integer threshold domain for sample_by_hash: first 8 md5 hex chars
 _HASH_SPACE = 1 << 32
 

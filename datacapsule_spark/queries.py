@@ -721,6 +721,27 @@ def text_gopher_quality(spark, sf_dir):
     return g.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def text_repetition_report(spark, sf_dir):
+    """Full Gopher repetition suite (dup line/paragraph count+char
+    fractions, top-{2,3,4}-gram char fractions) over a linified view
+    of documents: every literal ' value ' becomes a newline (literal
+    replace — identical left-to-right non-overlap semantics on both
+    engines) and the first line is appended again, planting one
+    duplicated line per doc so the dup fractions are exercised rather
+    than vacuously zero on this newline-free corpus."""
+    from .operators.curation import repetition_report
+
+    d = _t(spark, sf_dir, "documents")
+    lin = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            lin, F.lit("\n"), F.element_at(F.split(lin, "\n"), 1)
+        ).alias("text"),
+    )
+    return repetition_report(docs)
+
+
 def sample_docs_hash(spark, sf_dir):
     """Deterministic Bernoulli sample at rate 0.25 keyed on
     md5('s1' || doc_id) — reproducible across engines and runs."""
@@ -1613,6 +1634,7 @@ QUERIES = {
     "graph_lpa_cosupply": graph_lpa_cosupply,
     "dedup_keep_best_docs": dedup_keep_best_docs,
     "curation_temperature_mix_chars": curation_temperature_mix_chars,
+    "text_repetition_report": text_repetition_report,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2226,6 +2248,90 @@ SELECT k.doc_id,
         AND len(list_distinct(k.t)) / greatest(len(k.t), 1) >= 0.2
         AND coalesce(top.topc / top.nbg, 0.0) < 0.2) AS passes_gopher
 FROM toks k LEFT JOIN top ON k.doc_id = top.doc_id
+"""
+)
+
+_o("text_repetition_report")(
+    """
+WITH lin AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS l FROM documents
+), d2 AS (
+  SELECT doc_id, l || chr(10) || string_split(l, chr(10))[1] AS text FROM lin
+), lraw AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM d2
+), lc AS (
+  SELECT doc_id, u, count(*) AS c FROM lraw WHERE u <> '' GROUP BY 1, 2
+), ld AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS ldf,
+         sum(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END)
+           / greatest(sum(c * len(u)), 1) AS lcf
+  FROM lc GROUP BY 1
+), praw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\n{2,}')) AS u FROM d2
+), pc AS (
+  SELECT doc_id, u, count(*) AS c FROM praw WHERE u <> '' GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, sum(c) AS n_paras,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS pdf,
+         sum(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END)
+           / greatest(sum(c * len(u)), 1) AS pcf
+  FROM pc GROUP BY 1
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t,
+         length(text) AS nc
+  FROM d2
+), g2t AS (
+  SELECT doc_id, c * len(g) AS cov FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, len(g) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks)
+          GROUP BY 1, 2)) WHERE rn = 1
+), g3t AS (
+  SELECT doc_id, c * len(g) AS cov FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, len(g) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks)
+          GROUP BY 1, 2)) WHERE rn = 1
+), g4t AS (
+  SELECT doc_id, c * len(g) AS cov FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, len(g) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+3], ' '))) AS g FROM toks)
+          GROUP BY 1, 2)) WHERE rn = 1
+)
+SELECT k.doc_id,
+       coalesce(ld.n_lines, 0)::BIGINT AS n_lines,
+       round(coalesce(ld.ldf, 0), 6) AS dup_line_frac,
+       round(coalesce(ld.lcf, 0), 6) AS dup_line_char_frac,
+       coalesce(pd.n_paras, 0)::BIGINT AS n_paragraphs,
+       round(coalesce(pd.pdf, 0), 6) AS dup_para_frac,
+       round(coalesce(pd.pcf, 0), 6) AS dup_para_char_frac,
+       round(coalesce(g2t.cov / greatest(k.nc, 1), 0), 6) AS top_2gram_char_frac,
+       round(coalesce(g3t.cov / greatest(k.nc, 1), 0), 6) AS top_3gram_char_frac,
+       round(coalesce(g4t.cov / greatest(k.nc, 1), 0), 6) AS top_4gram_char_frac,
+       (coalesce(ld.ldf, 0) < 0.30 AND coalesce(pd.pdf, 0) < 0.30
+        AND coalesce(ld.lcf, 0) < 0.20 AND coalesce(pd.pcf, 0) < 0.20
+        AND coalesce(g2t.cov / greatest(k.nc, 1), 0) < 0.20
+        AND coalesce(g3t.cov / greatest(k.nc, 1), 0) < 0.18
+        AND coalesce(g4t.cov / greatest(k.nc, 1), 0) < 0.16) AS passes_repetition
+FROM toks k
+LEFT JOIN ld ON k.doc_id = ld.doc_id
+LEFT JOIN pd ON k.doc_id = pd.doc_id
+LEFT JOIN g2t ON k.doc_id = g2t.doc_id
+LEFT JOIN g3t ON k.doc_id = g3t.doc_id
+LEFT JOIN g4t ON k.doc_id = g4t.doc_id
 """
 )
 

@@ -1234,6 +1234,51 @@ class TestCuration:
             abs=1e-6,
         )
 
+    def test_repetition_report_hand_computed(self, spark):
+        """Gopher repetition suite vs hand-computed fractions on a
+        planted corpus: duplicated lines (d1), duplicated paragraphs
+        (d2), an empty doc (d3), and an n-gram-repetitive doc (d4)."""
+        from datacapsule_spark.operators.curation import repetition_report
+
+        d = spark.createDataFrame(
+            [
+                (1, "aaa\nbbb\naaa\nccc"),
+                (2, "p1 text\n\np2 text\n\np1 text"),
+                (3, ""),
+                (4, "x y x y x y z"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_report(d).collect()}
+
+        # d1: lines aaa,bbb,aaa,ccc -> 2/4 dup slots, 6/12 dup chars;
+        # a single \n never makes a paragraph boundary
+        assert out[1]["n_lines"] == 4
+        assert out[1]["dup_line_frac"] == pytest.approx(0.5)
+        assert out[1]["dup_line_char_frac"] == pytest.approx(0.5)
+        assert out[1]["n_paragraphs"] == 1
+        assert out[1]["dup_para_frac"] == 0.0
+
+        # d2: paragraphs p1,p2,p1 -> 2/3 dup; lines identical split
+        assert out[2]["n_paragraphs"] == 3
+        assert out[2]["dup_para_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2]["dup_para_char_frac"] == pytest.approx(14 / 21, abs=1e-6)
+        assert out[2]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert not out[2]["passes_repetition"]
+
+        # d3: empty -> all zero fractions, vacuously passes
+        assert out[3]["n_lines"] == 0
+        assert out[3]["dup_line_frac"] == 0.0
+        assert out[3]["passes_repetition"]
+
+        # d4: 13 chars; top bigram "x y" (3x, 3 chars) -> 9/13; top
+        # trigram tie ("x y x"/"y x y" both 2x) breaks lexicographic
+        # -> "x y x" cov 10/13; top 4-gram "x y x y" 2x -> 14/13
+        assert out[4]["top_2gram_char_frac"] == pytest.approx(9 / 13, abs=1e-6)
+        assert out[4]["top_3gram_char_frac"] == pytest.approx(10 / 13, abs=1e-6)
+        assert out[4]["top_4gram_char_frac"] == pytest.approx(14 / 13, abs=1e-6)
+        assert not out[4]["passes_repetition"]
+
     def test_sample_by_hash_deterministic_and_nested(self, spark):
         from datacapsule_spark.operators.curation import sample_by_hash
 
