@@ -1373,6 +1373,33 @@ def graph_triangles_cosupply(spark, sf_dir):
     return triangle_count(_cosupply_pairs(spark, sf_dir))
 
 
+def graph_linkpred_cosupply(spark, sf_dir):
+    """Top-20 predicted links over the high-quantity co-supply graph:
+    non-adjacent supplier pairs ranked by Adamic-Adar (ties: common
+    neighbors, then ids). The KG-completion screen — which entities
+    should be linked but aren't. Ordering uses the ROUNDED score so
+    float-sum ulp differences between engines can't flip the cut."""
+    from .operators.graph_stats import link_prediction
+
+    lp = link_prediction(_cosupply_pairs(spark, sf_dir))
+    return (
+        lp.select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(
+            F.desc("adamic_adar"),
+            F.desc("common_neighbors"),
+            F.asc("a"),
+            F.asc("b"),
+        )
+        .limit(20)
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -1635,6 +1662,7 @@ QUERIES = {
     "dedup_keep_best_docs": dedup_keep_best_docs,
     "curation_temperature_mix_chars": curation_temperature_mix_chars,
     "text_repetition_report": text_repetition_report,
+    "graph_linkpred_cosupply": graph_linkpred_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3163,6 +3191,35 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_linkpred_cosupply")(
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), nb AS (
+  SELECT a AS n, b AS z FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT n, count(*) AS d FROM nb GROUP BY 1
+), s AS (
+  SELECT n1.n AS a, n2.n AS b, count(*) AS cn, sum(1.0 / ln(dz.d)) AS aa
+  FROM nb n1
+  JOIN nb n2 ON n1.z = n2.z AND n1.n < n2.n
+  JOIN deg dz ON n1.z = dz.n
+  GROUP BY 1, 2
+), ne AS (
+  SELECT s.* FROM s LEFT JOIN pairs e ON s.a = e.a AND s.b = e.b
+  WHERE e.a IS NULL
+)
+SELECT ne.a, ne.b, cn::BIGINT AS common_neighbors,
+       round(cn / (da.d + db.d - cn), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM ne JOIN deg da ON ne.a = da.n JOIN deg db ON ne.b = db.n
+ORDER BY round(aa, 6) DESC, cn DESC, ne.a, ne.b LIMIT 20
+"""
+)
 
 _o("graph_triangles_cosupply")(
     """

@@ -1621,6 +1621,72 @@ class TestGraphStats:
         df = spark.createDataFrame(edges, "a long, b long")
         assert triangle_count(df).collect()[0]["n_triangles"] == want
 
+    def test_link_prediction_matches_networkx(self, spark):
+        """Common-neighbors / Jaccard / Adamic-Adar vs NetworkX on a
+        seeded random graph: every candidate (non-adjacent, >=1 shared
+        neighbor) pair present with matching scores."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import link_prediction
+
+        rng = random.Random(11)
+        edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)})
+        g = nx.Graph()
+        g.add_edges_from((a, b) for a, b in edges if a != b)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r
+            for r in link_prediction(df).collect()
+        }
+
+        want_jc = {
+            tuple(sorted((u, v))): p
+            for u, v, p in nx.jaccard_coefficient(g)
+            if len(list(nx.common_neighbors(g, u, v))) > 0
+        }
+        want_aa = {
+            tuple(sorted((u, v))): p
+            for u, v, p in nx.adamic_adar_index(g)
+            if len(list(nx.common_neighbors(g, u, v))) > 0
+        }
+        assert set(got) == set(want_jc)
+        for pair, row in got.items():
+            assert row["jaccard"] == pytest.approx(want_jc[pair], abs=1e-9)
+            assert row["adamic_adar"] == pytest.approx(want_aa[pair], abs=1e-9)
+            assert row["common_neighbors"] == len(
+                list(nx.common_neighbors(g, *pair))
+            )
+
+    def test_link_prediction_hub_cap_and_existing(self, spark):
+        """max_neighbor_degree drops hub wedges; exclude_existing=False
+        scores adjacent pairs too (triangle closure)."""
+        from datacapsule_spark.operators.graph_stats import link_prediction
+
+        # star 0-{1,2,3} plus edge 1-2: hub 0 has degree 3
+        df = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 2)], "a long, b long"
+        )
+        base = {
+            (r["a"], r["b"]): r for r in link_prediction(df).collect()
+        }
+        # non-adjacent pairs through the hub: (1,3), (2,3)
+        assert set(base) == {(1, 3), (2, 3)}
+        import math
+
+        assert base[(1, 3)]["adamic_adar"] == pytest.approx(1 / math.log(3))
+
+        # capping at degree 2 removes the hub's wedges entirely
+        capped = link_prediction(df, max_neighbor_degree=2).collect()
+        assert {(r["a"], r["b"]) for r in capped} == set()
+
+        # scoring existing edges: (1,2) closes a triangle through 0
+        withe = {
+            (r["a"], r["b"]): r
+            for r in link_prediction(df, exclude_existing=False).collect()
+        }
+        assert (1, 2) in withe and withe[(1, 2)]["common_neighbors"] == 1
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
