@@ -429,3 +429,56 @@ def link_prediction(
             "adamic_adar",
         )
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source(-set) BFS shortest-path lengths: (node, dist) for
+    every node reachable from `seeds` (a 1-column DataFrame of node
+    ids — an expression, never a driver list, so seed selection stays
+    in-plan at any scale) within max_hops.
+
+    The level-synchronous frontier loop the engine's typed BFS
+    (traverse.py:59, the reference's hierarchy walks) specializes:
+    per hop one equi-join frontier→edges plus one anti-join against
+    the visited set, eager localCheckpoint keeps the plan O(1) deep
+    across hops, and the loop exits early on an empty frontier (one
+    bounded count per hop — the same driver-side loop-control cost as
+    BFS/PageRank/k-core, amortized at real scale by hop width).
+    """
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -1400,6 +1400,23 @@ def graph_linkpred_cosupply(spark, sf_dir):
     )
 
 
+def graph_sssp_cosupply(spark, sf_dir):
+    """BFS shortest-path lengths from the lowest-id supplier over the
+    undirected co-supply graph, ≤4 hops — the distance analogue of the
+    reference's anchored hierarchy walks. Seed selection stays in-plan
+    (a 1-row min aggregate, no collect); oracle is a recursive-CTE
+    BFS taking min(dist) per node."""
+    from .operators.graph_stats import shortest_paths
+
+    pairs = _cosupply_pairs(spark, sf_dir)
+    seed = pairs.agg(F.min("a").alias("s"))
+    d = shortest_paths(pairs, seed, src="a", dst="b", max_hops=4, directed=False)
+    return d.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -1663,6 +1680,7 @@ QUERIES = {
     "curation_temperature_mix_chars": curation_temperature_mix_chars,
     "text_repetition_report": text_repetition_report,
     "graph_linkpred_cosupply": graph_linkpred_cosupply,
+    "graph_sssp_cosupply": graph_sssp_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3191,6 +3209,24 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_sssp_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), r AS (
+  SELECT (SELECT min(a) FROM pairs) AS node, 0 AS d
+  UNION
+  SELECT e.v, r.d + 1 FROM r JOIN e ON r.node = e.u WHERE r.d < 4
+)
+SELECT node::BIGINT AS node, min(d)::BIGINT AS dist FROM r GROUP BY node
+"""
+)
 
 _o("graph_linkpred_cosupply")(
     """

@@ -1687,6 +1687,44 @@ class TestGraphStats:
         }
         assert (1, 2) in withe and withe[(1, 2)]["common_neighbors"] == 1
 
+    def test_shortest_paths_matches_networkx(self, spark):
+        """BFS distances vs NetworkX, directed and undirected, with
+        the hop budget cutting the reachable set."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import shortest_paths
+
+        rng = random.Random(7)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 35), rng.randint(0, 35)) for _ in range(90)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seed_node = min(a for a, _ in edges)
+        seeds = df.agg(F.min("src").alias("s"))
+
+        gd = nx.DiGraph(edges)
+        for directed, g in ((True, gd), (False, gd.to_undirected())):
+            for cap in (2, 10):
+                want = {
+                    n: d
+                    for n, d in nx.single_source_shortest_path_length(
+                        g, seed_node
+                    ).items()
+                    if d <= cap
+                }
+                got = {
+                    r["node"]: r["dist"]
+                    for r in shortest_paths(
+                        df, seeds, max_hops=cap, directed=directed
+                    ).collect()
+                }
+                assert got == want, (directed, cap)
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
