@@ -9,6 +9,8 @@ oracle (md5/array functions align across engines).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -384,3 +386,84 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
         F.size(toks).alias("vocab_size"),
     )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+    intercept: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score docs with a trained linear quality classifier over hashed
+    bag-of-words features — the fastText/CCNet-style quality filter
+    (GPT-3's "looks like reference corpus" screen) as pure DataFrame
+    ops: no model runtime on the executors, just the exported weight
+    table.
+
+    features: x[bucket] = count of tokens hashing to bucket / n_tokens
+    (L1-normalized term frequency); bucket = first 32 bits of
+    md5(token) mod n_buckets — md5 so any engine (and the training
+    job that exported the weights) reproduces the bucketing exactly.
+    score = sigmoid(intercept + w · x); keep = score >= threshold.
+
+    weights is a (bucket:bigint, weight:double) table — at most
+    n_buckets rows, BROADCAST onto the exploded token stream (a
+    trained hashed model is a few MB; never a shuffle side).  Tokens
+    whose bucket has no weight row contribute 0, so a sparse export
+    is fine.  One doc-keyed aggregation total.
+
+    Returns (doc_id, n_tokens, quality_prob, keep).
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(_tokens(text_col), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets),
+    )
+    w = weights.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    scored = (
+        toks.join(broadcast(w), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("_wsum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(float(intercept))
+                            + F.col("_wsum") / F.col("n_tokens")
+                        )
+                    )
+                )
+            ).alias("quality_prob"),
+        )
+    )
+    # empty docs never reach the explode — left-join them back as the
+    # intercept-only score
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    sig0 = 1.0 / (1.0 + math.exp(-float(intercept)))
+    out = base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("quality_prob", F.lit(sig0)).alias("quality_prob"),
+    )
+    return out.withColumn("keep", F.col("quality_prob") >= F.lit(float(threshold)))

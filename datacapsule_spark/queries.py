@@ -742,6 +742,31 @@ def text_repetition_report(spark, sf_dir):
     return repetition_report(docs)
 
 
+def text_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style linear quality classifier scoring: hashed
+    bag-of-words (md5 bucket, 64 buckets here so the synthetic weight
+    table is dense) · broadcast weight table → sigmoid. Weights are
+    synthesized in-plan from the bucket id ((b % 7 - 3)/10), standing
+    in for a trained model export; keep is decided on the ROUNDED
+    probability so engine ulp differences can't flip the flag."""
+    from .operators.text import linear_quality_score
+
+    w = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 7) - 3).cast("double") / F.lit(10.0),
+    ).toDF("bucket", "weight")
+    s = linear_quality_score(
+        _docs(spark, sf_dir), w, n_buckets=64, intercept=-0.05
+    )
+    p6 = F.round("quality_prob", 6)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        p6.alias("quality_prob"),
+        (p6 >= 0.53).alias("keep"),
+    )
+
+
 def sample_docs_hash(spark, sf_dir):
     """Deterministic Bernoulli sample at rate 0.25 keyed on
     md5('s1' || doc_id) — reproducible across engines and runs."""
@@ -1681,6 +1706,7 @@ QUERIES = {
     "text_repetition_report": text_repetition_report,
     "graph_linkpred_cosupply": graph_linkpred_cosupply,
     "graph_sssp_cosupply": graph_sssp_cosupply,
+    "text_quality_classifier": text_quality_classifier,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2378,6 +2404,29 @@ LEFT JOIN pd ON k.doc_id = pd.doc_id
 LEFT JOIN g2t ON k.doc_id = g2t.doc_id
 LEFT JOIN g3t ON k.doc_id = g3t.doc_id
 LEFT JOIN g4t ON k.doc_id = g4t.doc_id
+"""
+)
+
+_o("text_quality_classifier")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, count(*) AS nt,
+         sum(((('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64)::BIGINT % 7 - 3)
+             / 10.0::DOUBLE) AS ws
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.nt, 0)::BIGINT AS n_tokens,
+       round(coalesce(1.0 / (1.0 + exp(-(-0.05 + s.ws / s.nt))),
+                      1.0 / (1.0 + exp(0.05))), 6) AS quality_prob,
+       (round(coalesce(1.0 / (1.0 + exp(-(-0.05 + s.ws / s.nt))),
+                       1.0 / (1.0 + exp(0.05))), 6) >= 0.53) AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 )
 

@@ -727,6 +727,55 @@ class TestText:
         assert fp[0] == want  # sorted distinct tokens joined by space
 
 
+class TestLinearQualityScore:
+    def test_hand_computed_sigmoid(self, spark):
+        """Hashed linear classifier vs a hand-built weight table: the
+        score is sigmoid(intercept + mean token weight), empty and
+        all-unweighted docs fall back to the intercept-only score."""
+        import hashlib
+        import math
+
+        from datacapsule_spark.operators.text import linear_quality_score
+
+        nb = 1 << 16
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+
+        docs = spark.createDataFrame(
+            [(1, "good good bad"), (2, ""), (3, "neutral words here")],
+            "doc_id long, text string",
+        )
+        weights = spark.createDataFrame(
+            [(bucket("good"), 2.0), (bucket("bad"), -1.0)],
+            "bucket long, weight double",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in linear_quality_score(
+                docs, weights, n_buckets=nb, intercept=-0.5, threshold=0.6
+            ).collect()
+        }
+        sig = lambda z: 1.0 / (1.0 + math.exp(-z))  # noqa: E731
+        # d1: (2*2.0 - 1.0)/3 tokens + intercept
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["quality_prob"] == pytest.approx(sig(-0.5 + 1.0))
+        assert out[1]["keep"]
+        # d2 empty, d3 unweighted tokens: intercept-only
+        assert out[2]["n_tokens"] == 0
+        assert out[2]["quality_prob"] == pytest.approx(sig(-0.5))
+        assert out[3]["quality_prob"] == pytest.approx(sig(-0.5))
+        assert not out[2]["keep"] and not out[3]["keep"]
+
+    def test_weight_table_is_broadcast(self, spark):
+        from datacapsule_spark.operators.text import linear_quality_score
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        w = spark.range(8).selectExpr("id as bucket", "0.1 as weight")
+        plan = linear_quality_score(docs, w)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestVector:
     def _embeddings(self, spark, n=50, dim=16):
         from datacapsule_spark.vectorize import hash_embed_text
