@@ -767,6 +767,32 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+def tokenizer_top_pairs(spark, sf_dir):
+    """BPE training's core distributed step gated end-to-end: corpus →
+    word-frequency table → end-of-word-marked symbol arrays → weighted
+    adjacent-pair counts → global top-10 (ties lexicographic). This is
+    round 0 of operators/tokenizer.bpe_train; the iterative trainer and
+    the corpus tokenizer are pinned to a pure-Python Sennrich reference
+    in tests/test_tokenizer.py."""
+    from .operators.tokenizer import EOW, _adjacent_pair_counts, word_counts
+
+    words = word_counts(_docs(spark, sf_dir))
+    symtab = words.select(
+        F.concat(F.split("word", ""), F.array(F.lit(EOW))).alias("syms"),
+        "freq",
+    )
+    return (
+        _adjacent_pair_counts(symtab)
+        .select(
+            F.col("s").alias("a"),
+            F.col("s2").alias("b"),
+            F.col("pair_freq").cast("bigint").alias("pair_freq"),
+        )
+        .orderBy(F.desc("pair_freq"), F.asc("a"), F.asc("b"))
+        .limit(10)
+    )
+
+
 def sample_docs_hash(spark, sf_dir):
     """Deterministic Bernoulli sample at rate 0.25 keyed on
     md5('s1' || doc_id) — reproducible across engines and runs."""
@@ -1707,6 +1733,7 @@ QUERIES = {
     "graph_linkpred_cosupply": graph_linkpred_cosupply,
     "graph_sssp_cosupply": graph_sssp_cosupply,
     "text_quality_classifier": text_quality_classifier,
+    "tokenizer_top_pairs": tokenizer_top_pairs,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2404,6 +2431,29 @@ LEFT JOIN pd ON k.doc_id = pd.doc_id
 LEFT JOIN g2t ON k.doc_id = g2t.doc_id
 LEFT JOIN g3t ON k.doc_id = g3t.doc_id
 LEFT JOIN g4t ON k.doc_id = g4t.doc_id
+"""
+)
+
+_o("tokenizer_top_pairs")(
+    """
+WITH wc AS (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents) GROUP BY 1
+), syms AS (
+  SELECT list_append(string_split(word, ''), '</w>') AS s, freq FROM wc
+), pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, len(s)),
+                               i -> s[i] || chr(1) || s[i+1])) AS g
+  FROM syms
+)
+SELECT string_split(g, chr(1))[1] AS a,
+       string_split(g, chr(1))[2] AS b,
+       sum(freq)::BIGINT AS pair_freq
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_freq DESC, a, b LIMIT 10
 """
 )
 
