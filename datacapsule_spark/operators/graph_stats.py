@@ -7,7 +7,7 @@ Complements the engine's BFS (traverse.py) and connected components
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -482,3 +482,76 @@ def shortest_paths(
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_len: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic 'random' walks (DeepWalk/node2vec's sampling
+    primitive): from every seed node, walk_len steps; at each step the
+    next hop is the neighbor minimizing md5(salt‖walk_id‖step‖v) —
+    hash-random, so walks are i.i.d.-ish like sampled walks but
+    REPRODUCIBLE on any engine with md5 (same trick as
+    curation.sample_by_hash), which is what makes a distributed walk
+    table auditable and resumable.  Walks stop early at a node with no
+    out-neighbor.
+
+    Returns (walk_id, step, node); walk_id is the seed node.  Each
+    step is one frontier-join + one per-walk window (rank over the
+    candidate neighbors) with an eager localCheckpoint — O(1) plan
+    depth, the engine's standard iterative shape (BFS/PageRank/CC).
+    The per-step frontier is seed-table-sized, not graph-sized.
+    """
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    seed_col = seeds.columns[0]
+    cur = (
+        seeds.select(F.col(seed_col).alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = cur
+    w = Window.partitionBy("walk_id").orderBy("h", "v")
+    for step in range(1, walk_len + 1):
+        nxt = (
+            cur.join(adj, cur.node == adj.u)
+            .withColumn(
+                "h",
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("walk_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(step)),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "walk_id",
+                F.lit(step).alias("step"),
+                F.col("v").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        out = out.unionAll(nxt)
+        cur = nxt
+    return out

@@ -1468,6 +1468,29 @@ def graph_sssp_cosupply(spark, sf_dir):
     )
 
 
+def graph_walks_cosupply(spark, sf_dir):
+    """Deterministic hash-random walks (the DeepWalk sampling
+    primitive) from the 5 lowest-id suppliers over the undirected
+    co-supply graph, 4 steps — seed selection in-plan, next-hop rule
+    md5-replayable, so the recursive-CTE oracle walks the IDENTICAL
+    paths."""
+    from .operators.graph_stats import random_walks
+
+    pairs = _cosupply_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("n").limit(5)
+    wk = random_walks(pairs, seeds, walk_len=4, src="a", dst="b", directed=False)
+    return wk.select(
+        F.col("walk_id").cast("bigint").alias("walk_id"),
+        F.col("step").cast("bigint").alias("step"),
+        F.col("node").cast("bigint").alias("node"),
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -1734,6 +1757,7 @@ QUERIES = {
     "graph_sssp_cosupply": graph_sssp_cosupply,
     "text_quality_classifier": text_quality_classifier,
     "tokenizer_top_pairs": tokenizer_top_pairs,
+    "graph_walks_cosupply": graph_walks_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3308,6 +3332,34 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_walks_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), seeds AS (
+  SELECT u AS n FROM e GROUP BY u ORDER BY u LIMIT 5
+), r AS (
+  SELECT n AS walk_id, 0 AS step, n AS node FROM seeds
+  UNION ALL
+  SELECT r.walk_id, r.step + 1,
+         (SELECT e.v FROM e WHERE e.u = r.node
+          ORDER BY md5('w' || r.walk_id::VARCHAR || ':'
+                       || (r.step + 1)::VARCHAR || ':' || e.v::VARCHAR),
+                   e.v
+          LIMIT 1)
+  FROM r
+  WHERE r.step < 4 AND EXISTS (SELECT 1 FROM e WHERE e.u = r.node)
+)
+SELECT walk_id::BIGINT AS walk_id, step::BIGINT AS step, node::BIGINT AS node
+FROM r
+"""
+)
 
 _o("graph_sssp_cosupply")(
     """

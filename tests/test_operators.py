@@ -1774,6 +1774,57 @@ class TestGraphStats:
                 }
                 assert got == want, (directed, cap)
 
+    def test_random_walks_deterministic_replay(self, spark):
+        """Hash-random walks replay exactly in pure Python (same md5
+        choice rule); directed walks stop at dangling nodes."""
+        import hashlib
+        import random
+
+        from datacapsule_spark.operators.graph_stats import random_walks
+
+        rng = random.Random(13)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 20), rng.randint(0, 20)) for _ in range(60)
+            }
+            if a != b
+        ]
+        edges.append((0, 99))  # 99 is dangling in the directed graph
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds_py = sorted({a for a, _ in edges})[:3] + [99]
+        seeds = spark.createDataFrame([(s,) for s in seeds_py], "n long")
+
+        for directed in (True, False):
+            adj: dict = {}
+            for a, b in set(edges):
+                adj.setdefault(a, set()).add(b)
+                if not directed:
+                    adj.setdefault(b, set()).add(a)
+            want = []
+            for s in seeds_py:
+                node = s
+                want.append((s, 0, s))
+                for step in range(1, 5):
+                    nbrs = adj.get(node, set()) - {node}
+                    if not nbrs:
+                        break
+                    node = min(
+                        nbrs,
+                        key=lambda v: (
+                            hashlib.md5(f"w{s}:{step}:{v}".encode()).hexdigest(),
+                            v,
+                        ),
+                    )
+                    want.append((s, step, node))
+            got = sorted(
+                (r["walk_id"], r["step"], r["node"])
+                for r in random_walks(
+                    df, seeds, walk_len=4, directed=directed
+                ).collect()
+            )
+            assert got == sorted(want), directed
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
