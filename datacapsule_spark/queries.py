@@ -767,6 +767,65 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Top-20 adjacent word pairs by pointwise mutual information
+    (min pair count 25): PMI = ln(c_xy · N / (c_x · c_y)) over the
+    corpus bigram and unigram tables — the collocation screen feeding
+    entity-linking features and tokenizer sanity checks. Two
+    aggregations (bigrams, unigrams) + two broadcast-size joins; the
+    1-row total folds in-plan. Ranked on the ROUNDED score."""
+    from .operators.dedup import shingle_rows
+
+    d = _docs(spark, sf_dir)
+    bg = (
+        shingle_rows(d, "text", "doc_id", n=2, distinct=False)
+        .groupBy("g")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= 25)
+        .select(
+            F.split("g", " ").getItem(0).alias("x"),
+            F.split("g", " ").getItem(1).alias("y"),
+            "c_xy",
+        )
+    )
+    uni = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tok"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            F.col("c_xy").cast("double")
+            * F.col("n_tok")
+            / (F.col("c_x") * F.col("c_y"))
+        ),
+        6,
+    )
+    return (
+        bg.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(20)
+    )
+
+
 def tokenizer_top_pairs(spark, sf_dir):
     """BPE training's core distributed step gated end-to-end: corpus →
     word-frequency table → end-of-word-marked symbol arrays → weighted
@@ -1758,6 +1817,7 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "tokenizer_top_pairs": tokenizer_top_pairs,
     "graph_walks_cosupply": graph_walks_cosupply,
+    "text_cooccurrence_pmi": text_cooccurrence_pmi,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2455,6 +2515,34 @@ LEFT JOIN pd ON k.doc_id = pd.doc_id
 LEFT JOIN g2t ON k.doc_id = g2t.doc_id
 LEFT JOIN g3t ON k.doc_id = g3t.doc_id
 LEFT JOIN g4t ON k.doc_id = g4t.doc_id
+"""
+)
+
+_o("text_cooccurrence_pmi")(
+    """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), uni AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(c)::BIGINT AS n_tok FROM uni
+), bgr AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)
+), bgc AS (
+  SELECT string_split(g, ' ')[1] AS x, string_split(g, ' ')[2] AS y,
+         count(*) AS c_xy
+  FROM bgr GROUP BY 1, 2 HAVING count(*) >= 25
+)
+SELECT x, y, c_xy::BIGINT AS c_xy,
+       round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
+FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
+ORDER BY pmi DESC, x, y LIMIT 20
 """
 )
 
