@@ -60,6 +60,15 @@ HEADLINE = [
     "graph_ppr_cosupply",
     "vector_ann_recall",
     "graph_motif_varlen_reach",
+    # new in r05 session 2: repetition screens (5 doc-keyed unit aggs),
+    # link prediction (wedge join), BFS distances (iterative), hashed
+    # linear classifier (broadcast weight join), BPE pair counts (the
+    # corpus→vocab fold)
+    "text_repetition_report",
+    "graph_linkpred_cosupply",
+    "graph_sssp_cosupply",
+    "text_quality_classifier",
+    "tokenizer_top_pairs",
 ]
 
 
