@@ -406,3 +406,42 @@ def test_skew_report_median_broadcast(spark):
     r = explain_report(QUERIES["skew_report_events"](spark, SF))
     assert "BroadcastExchange" in r.text, r.text
     assert r.sort_merge_joins == 0 and r.cartesian_products == 0, r.text
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    # the exported model table must never be a shuffle side
+    assert_plan(
+        QUERIES["text_quality_classifier"](spark, SF),
+        broadcast_joins_at_least=1,
+        max_scan_columns=2,
+    )
+
+
+def test_linkpred_no_cartesian_pruned_scan(spark):
+    # the edge set sits behind a localCheckpoint (Scan ExistingRDD in
+    # the final plan), so pushdown is asserted on the edge-builder plan
+    # and the final plan is pinned join-safe (no cartesian — default)
+    from datacapsule_spark.queries import _cosupply_pairs
+
+    assert_plan(
+        _cosupply_pairs(spark, SF), pushed_filters=True, max_scan_columns=3
+    )
+    assert_plan(QUERIES["graph_linkpred_cosupply"](spark, SF))
+
+
+def test_repetition_report_pruned_scan(spark):
+    # five doc-keyed unit streams, each reading only (doc_id, text)
+    assert_plan(
+        QUERIES["text_repetition_report"](spark, SF),
+        max_scan_columns=2,
+    )
+
+
+def test_tokenizer_pairs_topk_and_pruning(spark):
+    # corpus→vocab fold ends in TakeOrderedAndProject; scan reads text
+    # (+ doc_id — _docs' single-file spread repartitions on it)
+    assert_plan(
+        QUERIES["tokenizer_top_pairs"](spark, SF),
+        take_ordered=True,
+        max_scan_columns=2,
+    )
