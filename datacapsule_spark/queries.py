@@ -1269,6 +1269,29 @@ def vector_topk(spark, sf_dir):
     )
 
 
+def vector_quantized_topk(spark, sf_dir):
+    """Cosine top-20 over int8-QUANTIZED embeddings (vectorize.
+    quantize_embeddings — 4× memory cut, the 100 TB embedding-column
+    budget move): cosine is scale-invariant so search runs directly on
+    the tinyint vectors; the oracle replays the identical round(v/m·127)
+    quantization in SQL, so the gate witnesses quantize + search
+    end-to-end."""
+    from .vectorize import _cosine_expr, quantize_embeddings
+
+    e = quantize_embeddings(_emb_double(spark, sf_dir))
+    qrow = e.where(F.col("vec_id") == 0).select("qvec").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qrow])
+    return (
+        e.where(F.col("vec_id") != 0)
+        .withColumn("_q", q)
+        .withColumn("qv", F.transform("qvec", lambda x: x.cast("double")))
+        .withColumn("sim", F.round(_cosine_expr("qv"), 6))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", "sim")
+    )
+
+
 def vector_knn_batch(spark, sf_dir):
     """Batch k-NN: 5 query vectors (vec_id 0-4) × top-5 each via a
     per-query window — the set-oriented G2 shape."""
@@ -1818,6 +1841,7 @@ QUERIES = {
     "tokenizer_top_pairs": tokenizer_top_pairs,
     "graph_walks_cosupply": graph_walks_cosupply,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
+    "vector_quantized_topk": vector_quantized_topk,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3323,6 +3347,25 @@ SELECT doc_id, chunk_idx::INT AS chunk_idx,
        array_to_string(t[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk,
        least(len(t) - chunk_idx*48, 64)::INT AS n_tokens
 FROM idx
+"""
+)
+
+_o("vector_quantized_topk")(
+    """
+WITH qe AS (
+  SELECT vec_id, label,
+         CASE WHEN m > 0
+              THEN list_transform(embedding, x -> round(x::DOUBLE / m * 127))
+              ELSE list_transform(embedding, x -> 0.0::DOUBLE) END AS qv
+  FROM (SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        FROM embeddings)
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.qv, q.qv), 6) AS sim
+FROM qe e, (SELECT qv FROM qe WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT 20
 """
 )
 

@@ -891,6 +891,60 @@ class TestVector:
             ).collect()
 
 
+class TestQuantize:
+    def test_quantize_roundtrip_and_cosine_drift(self, spark):
+        import math
+
+        from datacapsule_spark.vectorize import (
+            dequantize_expr,
+            quantize_embeddings,
+        )
+
+        vecs = [
+            (1, [0.5, -1.0, 0.25, 0.125]),
+            (2, [2.0, 2.0, -2.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, qvec zeros
+            (4, [1e-3, -2e-3, 3e-3, 4e-3]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        q = quantize_embeddings(df)
+        rows = {r["vec_id"]: r for r in q.withColumn(
+            "deq", dequantize_expr()
+        ).collect()}
+
+        for vid, v in vecs:
+            m = max(abs(x) for x in v)
+            want_q = [round(x / m * 127) if m else 0 for x in v]
+            got = rows[vid]
+            assert got["qvec"] == want_q, vid
+            assert all(-127 <= x <= 127 for x in got["qvec"])
+            assert got["qscale"] == pytest.approx(m / 127.0)
+            # dequantization error bounded by half a quantization step
+            for orig, deq in zip(v, got["deq"]):
+                assert abs(orig - deq) <= (m / 127.0) / 2 + 1e-12
+
+        # cosine drift: quantized cosine within 1% of the float cosine
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        a, b = vecs[0][1], vecs[1][1]
+        qa, qb = rows[1]["qvec"], rows[2]["qvec"]
+        assert cos(qa, qb) == pytest.approx(cos(a, b), abs=0.01)
+
+    def test_quantized_schema_is_tinyint(self, spark):
+        from datacapsule_spark.vectorize import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0])], "vec_id long, embedding array<double>"
+        )
+        schema = dict(quantize_embeddings(df).dtypes)
+        assert schema["qvec"] == "array<tinyint>"
+        assert schema["qscale"] == "double"
+
+
 class TestMultimodal:
     def test_media_feature_plumbing(self, spark):
         from datacapsule_spark.operators.multimodal import (
