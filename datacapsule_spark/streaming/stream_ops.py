@@ -166,3 +166,23 @@ def streaming_hourly_rollup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_tokenize(
+    docs_stream: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of operators.tokenizer.bpe_apply: each
+    arriving document is subword-tokenized with the SAME trained merge
+    list (bpe_apply is reused verbatim — mapInPandas runs unchanged on
+    a streaming DataFrame, so the two paths cannot drift).
+
+    No watermark, no state store: the merge table rides the closure,
+    the per-batch word memo resets per micro-batch. This is the online
+    half of tokenizer induction — train offline on the corpus
+    (bpe_train), tokenize the firehose with the frozen vocabulary."""
+    from ..operators.tokenizer import bpe_apply
+
+    return bpe_apply(docs_stream, merges, text_col=text_col, id_col=id_col)

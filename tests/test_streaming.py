@@ -364,3 +364,41 @@ def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
     }
     for i in range(3):
         assert batch.get(i, 0) == sum(1 for d in want.values() if d > i)
+
+
+def test_streaming_tokenize_equals_batch(spark, tmp_path):
+    """Frozen-vocabulary subword tokenization over a stream emits
+    exactly the batch tokenization (stateless, append mode)."""
+    from datacapsule_spark.operators.tokenizer import bpe_apply, bpe_train
+    from datacapsule_spark.streaming.stream_ops import streaming_tokenize
+
+    src = str(tmp_path / "tok_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    merges = bpe_train(docs.limit(100), n_merges=6)
+    assert merges
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_tokenize(stream, merges)
+        .writeStream.format("memory")
+        .queryName("tok_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], tuple(r["subwords"]), r["n_subwords"])
+        for r in spark.sql("select * from tok_mem").collect()
+    }
+    want = {
+        (r["doc_id"], tuple(r["subwords"]), r["n_subwords"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # the vocabulary actually merged something: some doc has a
+    # multi-char subword
+    assert any(
+        len(s) > 1 and s != "</w>" for _, subs, _ in got for s in subs
+    )
