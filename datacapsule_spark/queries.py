@@ -1573,6 +1573,26 @@ def graph_walks_cosupply(spark, sf_dir):
     )
 
 
+def graph_closeness_cosupply(spark, sf_dir):
+    """Top-10 suppliers by closeness centrality over the undirected
+    co-supply graph: one multi-source BFS (all nodes ride one frontier,
+    so k sources cost the same number of stages as one) + one
+    aggregation; oracle is a recursive-CTE all-pairs min-distance table
+    folded to (n_reachable−1)/Σdist."""
+    from .operators.graph_stats import closeness_centrality
+
+    pairs = _cosupply_pairs(spark, sf_dir)
+    c = closeness_centrality(pairs, src="a", dst="b", directed=False)
+    return (
+        c.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("closeness", 6).alias("closeness"),
+        )
+        .orderBy(F.desc("closeness"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -1842,6 +1862,7 @@ QUERIES = {
     "graph_walks_cosupply": graph_walks_cosupply,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "vector_quantized_topk": vector_quantized_topk,
+    "graph_closeness_cosupply": graph_closeness_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3463,6 +3484,31 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_closeness_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), r AS (
+  SELECT u AS source, u AS node, 0 AS d FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.source, e.v, r.d + 1 FROM r JOIN e ON r.node = e.u WHERE r.d < 20
+), md AS (
+  SELECT source, node, min(d) AS dist FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT source, count(*) AS rch, sum(dist) AS sum_d FROM md GROUP BY 1
+)
+SELECT source::BIGINT AS node,
+       round(CASE WHEN sum_d > 0 THEN (rch - 1)::DOUBLE / sum_d
+                  ELSE 0.0 END, 6) AS closeness
+FROM agg ORDER BY closeness DESC, node LIMIT 10
+"""
+)
 
 _o("graph_walks_cosupply")(
     """

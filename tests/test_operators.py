@@ -1879,6 +1879,42 @@ class TestGraphStats:
             )
             assert got == sorted(want), directed
 
+    def test_closeness_matches_networkx(self, spark):
+        """Closeness centrality vs NetworkX (wf_improved=False), both
+        directed (incoming-distance convention) and undirected, on a
+        seeded graph with a dangling node."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import closeness_centrality
+
+        rng = random.Random(17)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 25), rng.randint(0, 25)) for _ in range(80)
+            }
+            if a != b
+        ]
+        edges.append((0, 99))  # 99: reachable, no out-edges
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        for directed, g in (
+            (True, nx.DiGraph(edges)),
+            (False, nx.Graph(edges)),
+        ):
+            want = nx.closeness_centrality(g, wf_improved=False)
+            got = {
+                r["node"]: r["closeness"]
+                for r in closeness_centrality(df, directed=directed).collect()
+            }
+            assert set(got) == set(want)
+            for n in want:
+                assert got[n] == pytest.approx(want[n], abs=1e-9), (
+                    directed,
+                    n,
+                )
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
