@@ -826,6 +826,44 @@ def text_cooccurrence_pmi(spark, sf_dir):
     )
 
 
+def curation_stratified_sample(spark, sf_dir):
+    """Quality-stratified (curriculum) sampling — the composition a
+    real mixing job runs: classifier-score the corpus (hashed linear
+    model), ntile(4) into quality quartiles (ordered on the ROUNDED
+    score then doc_id, so the tiling is deterministic on both
+    engines), then keep each quartile at its own deterministic
+    md5-threshold rate (best quartile 100%, then 50%, 25%, 10%).
+    Witnesses classifier → window → sampler compose with correct
+    column contracts."""
+    from .operators.curation import sample_by_hash
+    from .operators.text import linear_quality_score
+
+    w = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") % 7) - 3).cast("double") / F.lit(10.0)).alias("weight"),
+    )
+    s = linear_quality_score(_docs(spark, sf_dir), w, n_buckets=64)
+    tiled = s.select(
+        "doc_id",
+        F.round("quality_prob", 6).alias("q6"),
+    ).withColumn(
+        "quartile",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("q6"), F.asc("doc_id"))
+        ),
+    )
+    rates = {1: 1.0, 2: 0.5, 3: 0.25, 4: 0.1}
+    kept = None
+    for tile, rate in rates.items():
+        part = sample_by_hash(
+            tiled.where(F.col("quartile") == tile), rate, "doc_id", salt="c5"
+        )
+        kept = part if kept is None else kept.unionAll(part)
+    return kept.select(
+        "doc_id", "q6", F.col("quartile").cast("bigint").alias("quartile")
+    )
+
+
 def tokenizer_top_pairs(spark, sf_dir):
     """BPE training's core distributed step gated end-to-end: corpus →
     word-frequency table → end-of-word-marked symbol arrays → weighted
@@ -1863,6 +1901,7 @@ QUERIES = {
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "vector_quantized_topk": vector_quantized_topk,
     "graph_closeness_cosupply": graph_closeness_cosupply,
+    "curation_stratified_sample": curation_stratified_sample,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -2588,6 +2627,36 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+_o("curation_stratified_sample")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, count(*) AS nt,
+         sum(((('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64)::BIGINT % 7 - 3)
+             / 10.0::DOUBLE) AS ws
+  FROM toks GROUP BY 1
+), q AS (
+  SELECT d.doc_id,
+         round(coalesce(1.0 / (1.0 + exp(-(s.ws / s.nt))), 0.5), 6) AS q6
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+), t AS (
+  SELECT doc_id, q6,
+         ntile(4) OVER (ORDER BY q6 DESC, doc_id) AS quartile
+  FROM q
+)
+SELECT doc_id, q6, quartile::BIGINT AS quartile FROM t
+WHERE ('0x' || substr(md5('c5' || doc_id::VARCHAR), 1, 8))::UBIGINT <
+      CASE quartile WHEN 1 THEN 4294967296
+                    WHEN 2 THEN 2147483648
+                    WHEN 3 THEN 1073741824
+                    ELSE 429496729 END
 """
 )
 
