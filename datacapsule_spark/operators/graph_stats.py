@@ -642,3 +642,71 @@ def closeness_centrality(
         .otherwise(F.lit(0.0))
         .alias("closeness"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Kleinberg HITS → (node, hub, authority), both L1-normalized.
+
+    Per iteration (the standard update order): authority(v) = Σ hub(u)
+    over in-edges, L1-normalize; hub(u) = Σ authority(v) over
+    out-edges (the NEW authorities), L1-normalize.  Each normalizer is
+    a 1-row aggregate folded in-plan via a broadcast cross join (the
+    pagerank dangling-mass pattern — no per-round collect), each round
+    eagerly localCheckpoints so the plan stays O(1) deep.  Per-round
+    scalar normalization only rescales the power-iteration trajectory,
+    so the L1-normalized result matches any other normalization
+    convention (e.g. NetworkX's) at the fixed point.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    h = nodes.select("node", F.lit(1.0 / n).alias("x")).localCheckpoint(
+        eager=True
+    )
+
+    def push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[key_in] == scores.node)
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum("x").alias("raw"))
+        )
+        tot = raw.groupBy().agg(
+            F.coalesce(F.sum("raw"), F.lit(0.0)).alias("_tot")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("_tot") > 0,
+                    F.coalesce("raw", F.lit(0.0)) / F.col("_tot"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("x"),
+            )
+        )
+
+    a = None
+    for _ in range(max_iter):
+        a = push(h, "s", "t").localCheckpoint(eager=True)  # authorities
+        h = push(a, "t", "s").localCheckpoint(eager=True)  # hubs
+    return (
+        h.select("node", F.col("x").alias("hub"))
+        .join(a.select("node", F.col("x").alias("authority")), "node")
+    )

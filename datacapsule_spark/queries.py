@@ -1631,6 +1631,29 @@ def graph_closeness_cosupply(spark, sf_dir):
     )
 
 
+def graph_hits_cosupply(spark, sf_dir):
+    """Top-10 suppliers by HITS authority over the directed co-supply
+    graph (10 iterations, L1-normalized). The oracle is a recursive-CTE
+    power method in HALF-steps: each recursive round applies ONE push
+    (even rounds hubs→authorities along out-edges, odd rounds
+    authorities→hubs along in-edges) with the normalizer as a windowed
+    scalar — so the CTE references itself once, and 20 half-steps
+    replay the operator's 10 full updates exactly."""
+    from .operators.graph_stats import hits
+
+    pairs = _cosupply_pairs(spark, sf_dir, "src", "dst")
+    r = hits(pairs, src="src", dst="dst", max_iter=10)
+    return (
+        r.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -1902,6 +1925,7 @@ QUERIES = {
     "vector_quantized_topk": vector_quantized_topk,
     "graph_closeness_cosupply": graph_closeness_cosupply,
     "curation_stratified_sample": curation_stratified_sample,
+    "graph_hits_cosupply": graph_hits_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3553,6 +3577,48 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_hits_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT a AS s, b AS t FROM pairs
+), nodes AS (
+  -- NOT a bare UNION: under WITH RECURSIVE DuckDB treats a UNION-body
+  -- CTE as seed/step and skips cross-branch dedup (measured: 193 rows
+  -- from 100 nodes), which silently corrupts any SUM over it
+  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT t AS n FROM e)
+), r AS (
+  SELECT 0 AS it, n AS node, 1.0 / (SELECT count(*) FROM nodes) AS x
+  FROM nodes
+  UNION ALL
+  SELECT it + 1, node,
+         CASE WHEN sum(raw) OVER () > 0
+              THEN raw / sum(raw) OVER () ELSE 0.0 END AS x
+  FROM (
+    SELECT nd.n AS node, min(p.it) AS it,
+           sum(CASE WHEN (p.it % 2 = 0 AND ex.s = p.node AND ex.t = nd.n)
+                      OR (p.it % 2 = 1 AND ex.t = p.node AND ex.s = nd.n)
+               THEN p.x ELSE 0.0 END) AS raw
+    FROM nodes nd
+    CROSS JOIN r p
+    LEFT JOIN e ex ON (ex.s = p.node AND ex.t = nd.n)
+                   OR (ex.t = p.node AND ex.s = nd.n)
+    GROUP BY nd.n
+    HAVING min(p.it) < 20
+  )
+)
+SELECT h.node::BIGINT AS node, round(h.x, 6) AS hub,
+       round(a.x, 6) AS authority
+FROM (SELECT node, x FROM r WHERE it = 20) h
+JOIN (SELECT node, x FROM r WHERE it = 19) a ON h.node = a.node
+ORDER BY authority DESC, node LIMIT 10
+"""
+)
 
 _o("graph_closeness_cosupply")(
     """

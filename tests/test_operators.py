@@ -1915,6 +1915,57 @@ class TestGraphStats:
                     n,
                 )
 
+    def test_hits_matches_power_iteration_and_networkx(self, spark):
+        """HITS vs a pure-Python replica of the same update order at
+        the same iteration count (1e-9), and vs NetworkX's converged
+        fixed point (normalization conventions cancel at the fixed
+        point)."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import hits
+
+        rng = random.Random(23)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 20), rng.randint(0, 20)) for _ in range(70)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, max_iter=40).collect()
+        }
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        n = len(nodes)
+        h = {v: 1.0 / n for v in nodes}
+        for _ in range(40):
+            a_raw = {v: 0.0 for v in nodes}
+            for u, v in set(edges):
+                a_raw[v] += h[u]
+            tot = sum(a_raw.values())
+            a = {v: (a_raw[v] / tot if tot else 0.0) for v in nodes}
+            h_raw = {v: 0.0 for v in nodes}
+            for u, v in set(edges):
+                h_raw[u] += a[v]
+            tot = sum(h_raw.values())
+            h = {v: (h_raw[v] / tot if tot else 0.0) for v in nodes}
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-9)
+            assert got[v][1] == pytest.approx(a[v], abs=1e-9)
+
+        try:  # nx.hits needs scipy — absent in this container
+            hn, an = nx.hits(nx.DiGraph(set(edges)), max_iter=2000, tol=1e-12)
+        except ModuleNotFoundError:
+            return
+        for v in nodes:
+            assert got[v][0] == pytest.approx(hn[v], abs=1e-4)
+            assert got[v][1] == pytest.approx(an[v], abs=1e-4)
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
