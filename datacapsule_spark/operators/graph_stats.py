@@ -710,3 +710,135 @@ def hits(
         h.select("node", F.col("x").alias("hub"))
         .join(a.select("node", F.col("x").alias("authority")), "node")
     )
+
+
+def shortest_path_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """(source, node, dist, sigma): BFS distance AND number of
+    shortest paths from every source — multi_source_distances' loop
+    with a count riding the frontier: new nodes at level d+1 aggregate
+    sigma over their level-d predecessors (the Brandes forward pass,
+    level-synchronous).  sigma(source, source) = 1 at dist 0.
+    """
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    s = sources.columns[0]
+    state = (
+        sources.select(F.col(s).alias("source"))
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = state.select("source", "node")
+    frontier = state
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .groupBy("source", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .select("source", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        state = state.unionAll(nxt).localCheckpoint(eager=True)
+        visited = state.select("source", "node")
+        frontier = nxt
+    return state
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_hops: int = 20,
+) -> DataFrame:
+    """Exact betweenness centrality for every node, via the
+    pair-dependency identity on the shortest-path-count table:
+
+        bc(v) = Σ_{s≠v≠t, s≠t} [d(s,v) + d(v,t) = d(s,t)]
+                 · σ(s,v)·σ(v,t) / σ(s,t)
+
+    One multi-source BFS-with-counts from ALL nodes (σ symmetric /
+    reversed as needed), then the dependency sum is two equi-joins of
+    the σ-table with itself plus one aggregation — no per-source
+    backward sweep, so the whole thing is joins+aggs (Spark's home
+    turf) instead of Brandes' sequential dependency recursion.
+    Undirected convention matches NetworkX (each unordered pair
+    counted once = ordered sum / 2).  Cost is the all-pairs table —
+    the exact screen for KG-sized graphs and samples; for web-scale
+    graphs sample `sources` upstream (the standard estimator) by
+    calling shortest_path_counts directly.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+    sp = shortest_path_counts(
+        edges, nodes, src=src, dst=dst, max_hops=max_hops, directed=directed
+    ).localCheckpoint(eager=True)
+    # paths FROM v (for the v→t leg) need forward distances from v;
+    # on undirected graphs sp already has them, on directed graphs sp
+    # IS forward (source→node), so both legs read the same table
+    a = sp.select(
+        F.col("source").alias("s"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    b = sp.select(
+        F.col("source").alias("v"),
+        F.col("node").alias("t"),
+        F.col("dist").alias("d_vt"),
+        F.col("sigma").alias("sig_vt"),
+    )
+    c = sp.select(
+        F.col("source").alias("s"),
+        F.col("node").alias("t"),
+        F.col("dist").alias("d_st"),
+        F.col("sigma").alias("sig_st"),
+    )
+    dep = (
+        a.join(b, "v")
+        .join(c, ["s", "t"])
+        .where(
+            (F.col("s") != F.col("v"))
+            & (F.col("t") != F.col("v"))
+            & (F.col("s") != F.col("t"))
+            & (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(
+                F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st")
+            ).alias("bc")
+        )
+    )
+    scale = 1.0 if directed else 0.5
+    return nodes.join(
+        dep, nodes.n == dep.v, "left"
+    ).select(
+        F.col("n").alias("node"),
+        (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
+    )

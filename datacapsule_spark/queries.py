@@ -1631,6 +1631,29 @@ def graph_closeness_cosupply(spark, sf_dir):
     )
 
 
+def graph_betweenness_cosupply(spark, sf_dir):
+    """Top-10 suppliers by exact betweenness centrality (undirected
+    co-supply graph, hop bound 5 ≥ the graph's diameter on both
+    engines). The oracle builds the σ-table as a recursive-CTE WALK
+    count (a geodesic-length walk IS a shortest path, so cnt at
+    min(d) = σ exactly) and evaluates the same pair-dependency triple
+    join — no Brandes backward sweep on either engine."""
+    from .operators.graph_stats import betweenness_centrality
+
+    pairs = _cosupply_pairs(spark, sf_dir)
+    bc = betweenness_centrality(
+        pairs, src="a", dst="b", directed=False, max_hops=5
+    )
+    return (
+        bc.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("betweenness", 6).alias("betweenness"),
+        )
+        .orderBy(F.desc("betweenness"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_hits_cosupply(spark, sf_dir):
     """Top-10 suppliers by HITS authority over the directed co-supply
     graph (10 iterations, L1-normalized). The oracle is a recursive-CTE
@@ -1926,6 +1949,7 @@ QUERIES = {
     "graph_closeness_cosupply": graph_closeness_cosupply,
     "curation_stratified_sample": curation_stratified_sample,
     "graph_hits_cosupply": graph_hits_cosupply,
+    "graph_betweenness_cosupply": graph_betweenness_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3577,6 +3601,44 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_betweenness_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+), w AS (
+  SELECT n AS s, n AS v, 0 AS d, 1.0::DOUBLE AS cnt FROM nodes
+  UNION ALL
+  SELECT w.s, e.v, w.d + 1, sum(w.cnt)
+  FROM w JOIN e ON w.v = e.u
+  WHERE w.d < 5
+  GROUP BY 1, 2, 3
+), sp AS (
+  SELECT s, v, d, cnt FROM (
+    SELECT s, v, d, cnt,
+           row_number() OVER (PARTITION BY s, v ORDER BY d) AS rn
+    FROM w) WHERE rn = 1
+), dep AS (
+  SELECT a.v AS v, sum(a.cnt * b.cnt / c.cnt) AS bc
+  FROM sp a
+  JOIN sp b ON a.v = b.s
+  JOIN sp c ON c.s = a.s AND c.v = b.v
+  WHERE a.s <> a.v AND b.v <> a.v AND a.s <> b.v AND a.d + b.d = c.d
+  GROUP BY 1
+)
+SELECT n.n::BIGINT AS node,
+       round(coalesce(dep.bc, 0) * 0.5, 6) AS betweenness
+FROM nodes n LEFT JOIN dep ON n.n = dep.v
+ORDER BY betweenness DESC, node LIMIT 10
+"""
+)
 
 _o("graph_hits_cosupply")(
     """

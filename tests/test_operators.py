@@ -1966,6 +1966,46 @@ class TestGraphStats:
             assert got[v][0] == pytest.approx(hn[v], abs=1e-4)
             assert got[v][1] == pytest.approx(an[v], abs=1e-4)
 
+    def test_betweenness_matches_networkx(self, spark):
+        """Exact betweenness (pair-dependency identity over the
+        σ-table) vs NetworkX Brandes, directed and undirected, on a
+        seeded random graph plus a dangling node."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import (
+            betweenness_centrality,
+        )
+
+        rng = random.Random(29)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 18), rng.randint(0, 18)) for _ in range(50)
+            }
+            if a != b
+        ]
+        edges.append((0, 99))
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        for directed, g in (
+            (True, nx.DiGraph(set(edges))),
+            (False, nx.Graph(set(edges))),
+        ):
+            want = nx.betweenness_centrality(g, normalized=False)
+            got = {
+                r["node"]: r["betweenness"]
+                for r in betweenness_centrality(
+                    df, directed=directed
+                ).collect()
+            }
+            assert set(got) == set(want)
+            for n in want:
+                assert got[n] == pytest.approx(want[n], abs=1e-9), (
+                    directed,
+                    n,
+                )
+
     def test_pagerank_matches_power_iteration(self, spark):
         import random
 
