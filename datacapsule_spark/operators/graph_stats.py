@@ -842,3 +842,79 @@ def betweenness_centrality(
         F.col("n").alias("node"),
         (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — triangle_count's
+    degree-ordered wedge join kept per-triangle instead of folded to
+    one global count: each closed wedge (s; x, y) IS one triangle
+    {s, x, y}, found exactly once thanks to the orientation, then
+    exploded to its three corners and counted per node.  Same three
+    shuffles as triangle_count plus the corner aggregation; deg < 2
+    nodes get lcc 0.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("c0"),
+            F.col("e1.t").alias("c1"),
+            F.col("e2.t").alias("c2"),
+        )
+        .join(
+            und,
+            (F.least("c1", "c2") == F.col("u"))
+            & (F.greatest("c1", "c2") == F.col("v")),
+        )
+        .select(F.explode(F.array("c0", "c1", "c2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(tri, "n", "left").select(
+        F.col("n").alias("node"),
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(
+            F.col("d") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

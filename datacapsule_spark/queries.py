@@ -1654,6 +1654,24 @@ def graph_betweenness_cosupply(spark, sf_dir):
     )
 
 
+def graph_clustering_cosupply(spark, sf_dir):
+    """Top-10 suppliers by local clustering coefficient (with their
+    per-node triangle counts) over the undirected co-supply graph —
+    degree-ordered per-triangle enumeration exploded to corners."""
+    from .operators.graph_stats import local_clustering
+
+    lc = local_clustering(_cosupply_pairs(spark, sf_dir))
+    return (
+        lc.select(
+            F.col("node").cast("bigint").alias("node"),
+            "triangles",
+            F.round("lcc", 6).alias("lcc"),
+        )
+        .orderBy(F.desc("lcc"), F.asc("node"))
+        .limit(10)
+    )
+
+
 def graph_hits_cosupply(spark, sf_dir):
     """Top-10 suppliers by HITS authority over the directed co-supply
     graph (10 iterations, L1-normalized). The oracle is a recursive-CTE
@@ -1950,6 +1968,7 @@ QUERIES = {
     "curation_stratified_sample": curation_stratified_sample,
     "graph_hits_cosupply": graph_hits_cosupply,
     "graph_betweenness_cosupply": graph_betweenness_cosupply,
+    "graph_clustering_cosupply": graph_clustering_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3601,6 +3620,37 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_clustering_cosupply")(
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), tri AS (
+  SELECT e1.a AS c0, e1.b AS c1, e2.b AS c2
+  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT n, count(*) AS t FROM (
+    SELECT c0 AS n FROM tri
+    UNION ALL SELECT c1 FROM tri
+    UNION ALL SELECT c2 FROM tri)
+  GROUP BY 1
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
+  GROUP BY 1
+)
+SELECT deg.n::BIGINT AS node, coalesce(t, 0)::BIGINT AS triangles,
+       round(CASE WHEN d >= 2
+                  THEN 2.0::DOUBLE * coalesce(t, 0) / (d * (d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg LEFT JOIN tcnt ON deg.n = tcnt.n
+ORDER BY lcc DESC, node LIMIT 10
+"""
+)
 
 _o("graph_betweenness_cosupply")(
     """

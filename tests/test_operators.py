@@ -1966,6 +1966,33 @@ class TestGraphStats:
             assert got[v][0] == pytest.approx(hn[v], abs=1e-4)
             assert got[v][1] == pytest.approx(an[v], abs=1e-4)
 
+    def test_local_clustering_matches_networkx(self, spark):
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import local_clustering
+
+        rng = random.Random(31)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 30), rng.randint(0, 30)) for _ in range(150)
+            }
+            if a != b
+        ]
+        g = nx.Graph(edges)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r
+            for r in local_clustering(df).collect()
+        }
+        want_t = nx.triangles(g)
+        want_c = nx.clustering(g)
+        assert set(got) == set(want_t)
+        for n in want_t:
+            assert got[n]["triangles"] == want_t[n], n
+            assert got[n]["lcc"] == pytest.approx(want_c[n], abs=1e-9), n
+
     def test_betweenness_matches_networkx(self, spark):
         """Exact betweenness (pair-dependency identity over the
         σ-table) vs NetworkX Brandes, directed and undirected, on a
