@@ -69,6 +69,13 @@ HEADLINE = [
     "graph_sssp_cosupply",
     "text_quality_classifier",
     "tokenizer_top_pairs",
+    # centralities + r05 session-2 shapes (betweenness/closeness stay
+    # out: all-pairs by design — the correctness gate covers them)
+    "graph_hits_cosupply",
+    "graph_clustering_cosupply",
+    "text_cooccurrence_pmi",
+    "vector_quantized_topk",
+    "curation_stratified_sample",
 ]
 
 

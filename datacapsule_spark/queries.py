@@ -1958,17 +1958,19 @@ QUERIES = {
     "curation_temperature_mix_chars": curation_temperature_mix_chars,
     "text_repetition_report": text_repetition_report,
     "graph_linkpred_cosupply": graph_linkpred_cosupply,
-    "graph_sssp_cosupply": graph_sssp_cosupply,
     "text_quality_classifier": text_quality_classifier,
     "tokenizer_top_pairs": tokenizer_top_pairs,
-    "graph_walks_cosupply": graph_walks_cosupply,
-    "text_cooccurrence_pmi": text_cooccurrence_pmi,
-    "vector_quantized_topk": vector_quantized_topk,
-    "graph_closeness_cosupply": graph_closeness_cosupply,
-    "curation_stratified_sample": curation_stratified_sample,
     "graph_hits_cosupply": graph_hits_cosupply,
     "graph_betweenness_cosupply": graph_betweenness_cosupply,
     "graph_clustering_cosupply": graph_clustering_cosupply,
+    # --- r05-new past the 50-entry driver window (gate-replica evidence
+    # this round; rotate into the window in r06) --------------------------
+    "graph_closeness_cosupply": graph_closeness_cosupply,
+    "graph_sssp_cosupply": graph_sssp_cosupply,
+    "graph_walks_cosupply": graph_walks_cosupply,
+    "text_cooccurrence_pmi": text_cooccurrence_pmi,
+    "vector_quantized_topk": vector_quantized_topk,
+    "curation_stratified_sample": curation_stratified_sample,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
