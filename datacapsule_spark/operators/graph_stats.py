@@ -772,6 +772,7 @@ def betweenness_centrality(
     dst: str = "dst",
     directed: bool = False,
     max_hops: int = 20,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Exact betweenness centrality for every node, via the
     pair-dependency identity on the shortest-path-count table:
@@ -786,22 +787,37 @@ def betweenness_centrality(
     turf) instead of Brandes' sequential dependency recursion.
     Undirected convention matches NetworkX (each unordered pair
     counted once = ordered sum / 2).  Cost is the all-pairs table —
-    the exact screen for KG-sized graphs and samples; for web-scale
-    graphs sample `sources` upstream (the standard estimator) by
-    calling shortest_path_counts directly.
+    the exact screen for KG-sized graphs; for web-scale graphs pass
+    `sources` (a sampled 1-column node DataFrame): the s-leg and the
+    (s,t)-denominator restrict to sampled sources — the standard
+    Brandes-subset estimator, scaled up by n_nodes/n_sources to
+    estimate the full score.  sources=None (default) = exact.
     """
     nodes = (
         edges.select(F.col(src).alias("n"))
         .unionAll(edges.select(F.col(dst).alias("n")))
         .distinct()
     )
+    # the v→t leg and the v-index need path counts FROM every node,
+    # so the σ-table always spans all sources; sampling restricts
+    # which rows feed the s-leg and the denominator below
     sp = shortest_path_counts(
         edges, nodes, src=src, dst=dst, max_hops=max_hops, directed=directed
     ).localCheckpoint(eager=True)
+    if sources is not None:
+        scol = sources.columns[0]
+        sset = sources.select(F.col(scol).alias("source")).distinct()
+        n_nodes = nodes.count()
+        n_src = sset.count()
+        sp_s = sp.join(sset, "source", "left_semi")
+        scale_up = n_nodes / max(n_src, 1)
+    else:
+        sp_s = sp
+        scale_up = 1.0
     # paths FROM v (for the v→t leg) need forward distances from v;
     # on undirected graphs sp already has them, on directed graphs sp
     # IS forward (source→node), so both legs read the same table
-    a = sp.select(
+    a = sp_s.select(
         F.col("source").alias("s"),
         F.col("node").alias("v"),
         F.col("dist").alias("d_sv"),
@@ -813,7 +829,7 @@ def betweenness_centrality(
         F.col("dist").alias("d_vt"),
         F.col("sigma").alias("sig_vt"),
     )
-    c = sp.select(
+    c = sp_s.select(
         F.col("source").alias("s"),
         F.col("node").alias("t"),
         F.col("dist").alias("d_st"),
@@ -835,7 +851,7 @@ def betweenness_centrality(
             ).alias("bc")
         )
     )
-    scale = 1.0 if directed else 0.5
+    scale = (1.0 if directed else 0.5) * scale_up
     return nodes.join(
         dep, nodes.n == dep.v, "left"
     ).select(

@@ -1966,6 +1966,52 @@ class TestGraphStats:
             assert got[v][0] == pytest.approx(hn[v], abs=1e-4)
             assert got[v][1] == pytest.approx(an[v], abs=1e-4)
 
+    def test_betweenness_sampled_sources(self, spark):
+        """sources=all ≡ exact; a half sample is the Brandes-subset
+        estimator scaled by n/|S| (top nodes stay top)."""
+        import random
+
+        from datacapsule_spark.operators.graph_stats import (
+            betweenness_centrality,
+        )
+
+        rng = random.Random(37)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 15), rng.randint(0, 15)) for _ in range(40)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        exact = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_centrality(df).collect()
+        }
+        all_src = spark.createDataFrame([(n,) for n in nodes], "n long")
+        full = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_centrality(df, sources=all_src).collect()
+        }
+        for n in nodes:
+            assert full[n] == pytest.approx(exact[n], abs=1e-9)
+
+        half = spark.createDataFrame(
+            [(n,) for n in nodes[::2]], "n long"
+        )
+        est = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_centrality(df, sources=half).collect()
+        }
+        # unbiasedness is statistical; assert the estimator is sane:
+        # non-negative, and the true top node scores well above the
+        # sample's median
+        assert all(v >= 0 for v in est.values())
+        top = max(exact, key=lambda n: exact[n])
+        med = sorted(est.values())[len(est) // 2]
+        assert est[top] >= med
+
     def test_local_clustering_matches_networkx(self, spark):
         import random
 
