@@ -934,3 +934,72 @@ def local_clustering(
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_hops: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Min-total-weight distances from the seed set within a hop
+    budget — level-synchronous Bellman-Ford: each round relaxes edges
+    out of the IMPROVED frontier only, merges via union + min-per-node,
+    and stops early when a round improves nothing.  With max_hops ≥
+    the longest shortest path (and non-negative weights) this is the
+    exact Dijkstra distance; the hop budget is the web-scale knob —
+    and, like every loop in this module, each round is one join + one
+    aggregation with an eager localCheckpoint (O(1) plan depth).
+    Returns (node, dist)."""
+    adj = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).cast("double").alias("w"),
+            )
+        )
+    adj = (
+        adj.where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint(eager=False)
+    )
+    s = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(s).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        old = dist.select("node", F.col("dist").alias("_old"))
+        improved = (
+            cand.join(old, "node", "left")
+            .where(F.col("_old").isNull() | (F.col("d") < F.col("_old")))
+            .select("node", F.col("d").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not improved.take(1):
+            break
+        dist = (
+            dist.unionAll(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

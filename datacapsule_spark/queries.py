@@ -1672,6 +1672,43 @@ def graph_clustering_cosupply(spark, sf_dir):
     )
 
 
+def graph_wsssp_cosupply(spark, sf_dir):
+    """Weighted shortest paths (≤4 hops) from the lowest-id supplier
+    over the WEIGHTED co-supply graph — edge weight 1/(shared high-qty
+    orders), so strongly co-supplying pairs are 'close'. Bellman-Ford
+    min-then-extend equals the oracle's enumerate-all-walks-then-min
+    (addition is monotone), so the recursive bounded-walk CTE replays
+    it exactly."""
+    from .operators.graph_stats import weighted_shortest_paths
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pw = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .groupBy(
+            F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b")
+        )
+        .agg(F.countDistinct("l1.l_orderkey").alias("c"))
+    )
+    e = pw.select("a", "b", (F.lit(1.0) / F.col("c")).alias("weight"))
+    seed = pw.agg(F.min("a").alias("s"))
+    d = weighted_shortest_paths(
+        e, seed, src="a", dst="b", max_hops=4, directed=False
+    )
+    return d.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def graph_hits_cosupply(spark, sf_dir):
     """Top-10 suppliers by HITS authority over the directed co-supply
     graph (10 iterations, L1-normalized). The oracle is a recursive-CTE
@@ -1971,6 +2008,7 @@ QUERIES = {
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "vector_quantized_topk": vector_quantized_topk,
     "curation_stratified_sample": curation_stratified_sample,
+    "graph_wsssp_cosupply": graph_wsssp_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3622,6 +3660,29 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_wsssp_cosupply")(
+    """
+WITH RECURSIVE pw AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+         count(DISTINCT l1.l_orderkey) AS c
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+  GROUP BY 1, 2
+), e AS (
+  SELECT a AS u, b AS v, 1.0::DOUBLE / c AS w FROM pw
+  UNION ALL
+  SELECT b, a, 1.0::DOUBLE / c FROM pw
+), r AS (
+  SELECT (SELECT min(a) FROM pw) AS node, 0.0::DOUBLE AS cost, 0 AS h
+  UNION
+  SELECT e.v, r.cost + e.w, r.h + 1 FROM r JOIN e ON r.node = e.u
+  WHERE r.h < 4
+)
+SELECT node::BIGINT AS node, round(min(cost), 6) AS dist FROM r GROUP BY node
+"""
+)
 
 _o("graph_clustering_cosupply")(
     """

@@ -2012,6 +2012,67 @@ class TestGraphStats:
         med = sorted(est.values())[len(est) // 2]
         assert est[top] >= med
 
+    def test_weighted_shortest_paths_matches_dijkstra(self, spark):
+        """Bellman-Ford with a generous hop budget equals NetworkX
+        Dijkstra distances; a tight hop budget enforces the ≤k-edge
+        semantics (hand-checked on a triangle-with-shortcut)."""
+        import random
+
+        nx = pytest.importorskip("networkx")
+        from datacapsule_spark.operators.graph_stats import (
+            weighted_shortest_paths,
+        )
+
+        rng = random.Random(41)
+        edges = [
+            (a, b, round(rng.uniform(0.1, 2.0), 3))
+            for a, b in {
+                (rng.randint(0, 20), rng.randint(0, 20)) for _ in range(70)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long, weight double")
+        seeds = df.agg(F.min("src").alias("s"))
+        s0 = min(a for a, _, _ in edges)
+
+        for directed in (True, False):
+            g = nx.DiGraph() if directed else nx.Graph()
+            for a, b, w in edges:
+                # parallel/reverse duplicates: keep the cheapest, like
+                # the operator
+                if g.has_edge(a, b):
+                    g[a][b]["weight"] = min(g[a][b]["weight"], w)
+                else:
+                    g.add_edge(a, b, weight=w)
+            want = nx.single_source_dijkstra_path_length(g, s0)
+            got = {
+                r["node"]: r["dist"]
+                for r in weighted_shortest_paths(
+                    df, seeds, max_hops=30, directed=directed
+                ).collect()
+            }
+            assert set(got) == set(want)
+            for n in want:
+                assert got[n] == pytest.approx(want[n], abs=1e-9), (directed, n)
+
+        # hop budget: direct edge costs 10, two-hop detour costs 2 —
+        # with max_hops=1 only the direct edge is reachable
+        tri = spark.createDataFrame(
+            [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0)],
+            "src long, dst long, weight double",
+        )
+        seeds0 = spark.createDataFrame([(0,)], "s long")
+        one = {
+            r["node"]: r["dist"]
+            for r in weighted_shortest_paths(tri, seeds0, max_hops=1).collect()
+        }
+        assert one[1] == 10.0 and one[2] == 1.0
+        two = {
+            r["node"]: r["dist"]
+            for r in weighted_shortest_paths(tri, seeds0, max_hops=2).collect()
+        }
+        assert two[1] == 2.0
+
     def test_local_clustering_matches_networkx(self, spark):
         import random
 
