@@ -681,6 +681,71 @@ def text_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=64, stride=48)
 
 
+def events_retention_cohorts(spark, sf_dir):
+    """Classic retention matrix: cohort users by first-seen day, count
+    distinct users active at each day offset. Two aggregations + one
+    join of the user-sized first-seen table back onto events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+def events_moving_avg(spark, sf_dir):
+    """7-day trailing moving average of daily event volume — the
+    rolling window runs over the POST-aggregation daily table (one row
+    per day), so the unpartitioned window is a dimension-sized sort,
+    not a corpus-wide one."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
+    )
+
+
+def dedup_passages_docs(spark, sf_dir):
+    """Cross-document duplicated-passage screen (Lee et al.'s exact
+    dedup at passage granularity): non-overlapping 16-token chunks,
+    md5-fingerprinted, grouped corpus-wide; a passage in ≥2 distinct
+    docs is a dedup target. The corpus view plants 20 copied docs
+    (doc_id + 1e6) so the screen is exercised, not vacuously empty on
+    this dup-free slice. Chunking is the shuffle-free 1→N expansion;
+    the group-by moves 16-byte hashes, never passages."""
+    from .operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    low = (
+        d.orderBy("doc_id")
+        .limit(20)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    ch = chunk_documents(d.unionAll(low), size=16, stride=16)
+    return (
+        ch.groupBy(F.md5("chunk").alias("passage_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-curation suite over `documents` (CCNet / Gopher / C4 family)
 # --------------------------------------------------------------------------
@@ -2009,6 +2074,9 @@ QUERIES = {
     "vector_quantized_topk": vector_quantized_topk,
     "curation_stratified_sample": curation_stratified_sample,
     "graph_wsssp_cosupply": graph_wsssp_cosupply,
+    "dedup_passages_docs": dedup_passages_docs,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_moving_avg": events_moving_avg,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3527,6 +3595,57 @@ WITH t AS (
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
        len(toks) AS vocab_size
 FROM t
+"""
+)
+
+_o("events_retention_cohorts")(
+    """
+WITH ev AS (
+  SELECT user_id, ts::DATE AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+)
+SELECT cohort_day::VARCHAR AS cohort_day,
+       (day - cohort_day)::BIGINT AS day_offset,
+       count(DISTINCT ev.user_id)::BIGINT AS n_users
+FROM ev JOIN f ON ev.user_id = f.user_id
+GROUP BY cohort_day, day - cohort_day
+"""
+)
+
+_o("events_moving_avg")(
+    """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT day::VARCHAR AS day, n_events::BIGINT AS n_events,
+       round(avg(n_events) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+"""
+)
+
+_o("dedup_passages_docs")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM corpus
+), ch AS (
+  SELECT doc_id,
+         array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 16], ' ') AS chunk
+  FROM (SELECT doc_id, t, unnest(range(((len(t) - 1) // 16) + 1)) AS chunk_idx
+        FROM toks WHERE len(t) > 0)
+)
+SELECT md5(chunk) AS passage_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 """
 )
 
