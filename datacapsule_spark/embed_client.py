@@ -42,6 +42,12 @@ import time
 from collections.abc import Callable, Sequence
 
 
+class TransientEmbedError(RuntimeError):
+    """Raised internally for failures that are transient BY CONTRACT
+    regardless of the user's ``retry_on`` tuple — e.g. a wrong-length
+    (partial) response.  Always retried/bisected."""
+
+
 class EmbedPoisonError(RuntimeError):
     """A single input row kept failing after retries and no
     ``row_fallback`` was configured."""
@@ -53,6 +59,11 @@ class EmbedPoisonError(RuntimeError):
         )
         self.text = text
         self.cause = cause
+
+    def __reduce__(self):
+        # default BaseException.__reduce__ would re-call __init__ with
+        # the formatted message only -> TypeError on unpickle
+        return (EmbedPoisonError, (self.text, self.cause))
 
 
 class ResilientEmbedFn:
@@ -106,18 +117,21 @@ class ResilientEmbedFn:
         self.calls += 1
         out = self.fn(texts)
         if len(out) != len(texts):
-            raise RuntimeError(
+            raise TransientEmbedError(
                 f"embedding API returned {len(out)} vectors for "
                 f"{len(texts)} inputs (partial response)"
             )
         return list(out)
 
     def _call_with_retries(self, texts: list[str]):
+        # partial responses are transient by contract, independent of
+        # how narrow the user made retry_on
+        retry_on = tuple(self.retry_on) + (TransientEmbedError,)
         attempt = 0
         while True:
             try:
                 return self._rate_limited_call(texts)
-            except self.retry_on as exc:
+            except retry_on as exc:
                 if attempt >= self.max_retries:
                     raise exc
                 self.retries += 1
@@ -129,7 +143,7 @@ class ResilientEmbedFn:
     def _embed(self, texts: list[str]):
         try:
             return self._call_with_retries(texts)
-        except self.retry_on as exc:
+        except tuple(self.retry_on) + (TransientEmbedError,) as exc:
             if len(texts) == 1:
                 if self.row_fallback is not None:
                     self.fallback_rows += 1

@@ -431,6 +431,35 @@ def link_prediction(
     )
 
 
+
+def _adjacency(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    directed: bool,
+    weight: str | None = None,
+) -> DataFrame:
+    """Canonical adjacency for the iterative operators: (u, v[, w]),
+    self-loops dropped, reversed edges unioned when undirected, exact
+    duplicates removed (parallel weighted edges keep the cheapest),
+    lazily localCheckpointed so every round of the caller's loop reuses
+    the materialized edge list instead of recomputing its lineage."""
+    cols = [F.col(src).alias("u"), F.col(dst).alias("v")]
+    rcols = [F.col(dst).alias("u"), F.col(src).alias("v")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("w"))
+        rcols.append(F.col(weight).cast("double").alias("w"))
+    adj = edges.select(*cols)
+    if not directed:
+        adj = adj.unionAll(edges.select(*rcols))
+    adj = adj.where(F.col("u") != F.col("v"))
+    if weight is not None:
+        adj = adj.groupBy("u", "v").agg(F.min("w").alias("w"))
+    else:
+        adj = adj.distinct()
+    return adj.localCheckpoint(eager=False)
+
+
 def shortest_paths(
     edges: DataFrame,
     seeds: DataFrame,
@@ -452,14 +481,7 @@ def shortest_paths(
     bounded count per hop — the same driver-side loop-control cost as
     BFS/PageRank/k-core, amortized at real scale by hop width).
     """
-    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if not directed:
-        adj = adj.unionAll(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=False
-    )
+    adj = _adjacency(edges, src, dst, directed)
     seed_col = seeds.columns[0]
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
@@ -508,14 +530,7 @@ def random_walks(
     depth, the engine's standard iterative shape (BFS/PageRank/CC).
     The per-step frontier is seed-table-sized, not graph-sized.
     """
-    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if not directed:
-        adj = adj.unionAll(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=False
-    )
+    adj = _adjacency(edges, src, dst, directed)
     seed_col = seeds.columns[0]
     cur = (
         seeds.select(F.col(seed_col).alias("walk_id"))
@@ -573,14 +588,7 @@ def multi_source_distances(
     just k× wider) — the right shape when the per-stage latency, not
     bandwidth, dominates (it does for BFS loops).
     """
-    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if not directed:
-        adj = adj.unionAll(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=False
-    )
+    adj = _adjacency(edges, src, dst, directed)
     s = sources.columns[0]
     dist = (
         sources.select(F.col(s).alias("source"))
@@ -662,6 +670,8 @@ def hits(
     so the L1-normalized result matches any other normalization
     convention (e.g. NetworkX's) at the fixed point.
     """
+    if max_iter < 1:
+        raise ValueError("hits needs max_iter >= 1")
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .where(F.col("s") != F.col("t"))
@@ -726,14 +736,7 @@ def shortest_path_counts(
     sigma over their level-d predecessors (the Brandes forward pass,
     level-synchronous).  sigma(source, source) = 1 at dist 0.
     """
-    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if not directed:
-        adj = adj.unionAll(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-    adj = adj.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=False
-    )
+    adj = _adjacency(edges, src, dst, directed)
     s = sources.columns[0]
     state = (
         sources.select(F.col(s).alias("source"))
@@ -788,75 +791,146 @@ def betweenness_centrality(
     Undirected convention matches NetworkX (each unordered pair
     counted once = ordered sum / 2).  Cost is the all-pairs table —
     the exact screen for KG-sized graphs; for web-scale graphs pass
-    `sources` (a sampled 1-column node DataFrame): the s-leg and the
-    (s,t)-denominator restrict to sampled sources — the standard
-    Brandes-subset estimator, scaled up by n_nodes/n_sources to
-    estimate the full score.  sources=None (default) = exact.
+    `sources` (a sampled 1-column node DataFrame): that path runs
+    Brandes' LEVEL-SYNCHRONOUS backward dependency sweep instead, so
+    the σ-table (and every join) spans ONLY the |S| sampled sources —
+    O(|S|·V) state, the true subset estimator — scaled by n_nodes/|S|
+    to estimate the full score.  sources=None (default) = exact.
+    sources=all-nodes equals the exact path (cross-implementation
+    pytest pin: two different algorithms, same numbers).
     """
     nodes = (
         edges.select(F.col(src).alias("n"))
         .unionAll(edges.select(F.col(dst).alias("n")))
         .distinct()
     )
-    # the v→t leg and the v-index need path counts FROM every node,
-    # so the σ-table always spans all sources; sampling restricts
-    # which rows feed the s-leg and the denominator below
-    sp = shortest_path_counts(
-        edges, nodes, src=src, dst=dst, max_hops=max_hops, directed=directed
-    ).localCheckpoint(eager=True)
+    scale = 1.0 if directed else 0.5
     if sources is not None:
         scol = sources.columns[0]
         sset = sources.select(F.col(scol).alias("source")).distinct()
-        n_nodes = nodes.count()
-        n_src = sset.count()
-        sp_s = sp.join(sset, "source", "left_semi")
-        scale_up = n_nodes / max(n_src, 1)
+        dep = _brandes_dependencies(
+            edges, sset, src, dst, directed, max_hops
+        )
+        scale *= nodes.count() / max(sset.count(), 1)
     else:
-        sp_s = sp
-        scale_up = 1.0
-    # paths FROM v (for the v→t leg) need forward distances from v;
-    # on undirected graphs sp already has them, on directed graphs sp
-    # IS forward (source→node), so both legs read the same table
-    a = sp_s.select(
-        F.col("source").alias("s"),
-        F.col("node").alias("v"),
-        F.col("dist").alias("d_sv"),
-        F.col("sigma").alias("sig_sv"),
-    )
-    b = sp.select(
-        F.col("source").alias("v"),
-        F.col("node").alias("t"),
-        F.col("dist").alias("d_vt"),
-        F.col("sigma").alias("sig_vt"),
-    )
-    c = sp_s.select(
-        F.col("source").alias("s"),
-        F.col("node").alias("t"),
-        F.col("dist").alias("d_st"),
-        F.col("sigma").alias("sig_st"),
-    )
-    dep = (
-        a.join(b, "v")
-        .join(c, ["s", "t"])
-        .where(
-            (F.col("s") != F.col("v"))
-            & (F.col("t") != F.col("v"))
-            & (F.col("s") != F.col("t"))
-            & (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        # exact: pair-dependency identity over the all-pairs σ-table —
+        # two equi-joins + one aggregation, no backward sweep.
+        # paths FROM v (the v→t leg) need forward distances from v; on
+        # undirected graphs sp already has them, on directed graphs sp
+        # IS forward (source→node), so both legs read the same table
+        sp = shortest_path_counts(
+            edges, nodes, src=src, dst=dst, max_hops=max_hops,
+            directed=directed,
+        ).localCheckpoint(eager=True)
+        a = sp.select(
+            F.col("source").alias("s"),
+            F.col("node").alias("v"),
+            F.col("dist").alias("d_sv"),
+            F.col("sigma").alias("sig_sv"),
         )
-        .groupBy("v")
-        .agg(
-            F.sum(
-                F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st")
-            ).alias("bc")
+        b = sp.select(
+            F.col("source").alias("v"),
+            F.col("node").alias("t"),
+            F.col("dist").alias("d_vt"),
+            F.col("sigma").alias("sig_vt"),
         )
-    )
-    scale = (1.0 if directed else 0.5) * scale_up
+        c = sp.select(
+            F.col("source").alias("s"),
+            F.col("node").alias("t"),
+            F.col("dist").alias("d_st"),
+            F.col("sigma").alias("sig_st"),
+        )
+        dep = (
+            a.join(b, "v")
+            .join(c, ["s", "t"])
+            .where(
+                (F.col("s") != F.col("v"))
+                & (F.col("t") != F.col("v"))
+                & (F.col("s") != F.col("t"))
+                & (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st")
+                ).alias("bc")
+            )
+        )
     return nodes.join(
         dep, nodes.n == dep.v, "left"
     ).select(
         F.col("n").alias("node"),
         (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
+    )
+
+
+def _brandes_dependencies(
+    edges: DataFrame,
+    sset: DataFrame,
+    src: str,
+    dst: str,
+    directed: bool,
+    max_hops: int,
+) -> DataFrame:
+    """Σ_s delta_s(v) over the sampled sources via Brandes' backward
+    accumulation, level-synchronous: the forward pass is
+    shortest_path_counts from ONLY the sampled sources; then levels
+    run deepest→1, each one join of the level-d frontier onto its
+    SP-DAG predecessors (edge v→w with d(s,v)=d(s,w)−1) + one
+    aggregation.  All state is O(|S|·V); rounds = eccentricity bound.
+    Returns (v, bc) with delta summed over sources, source rows
+    (v = s) excluded."""
+    sp = shortest_path_counts(
+        edges, sset, src=src, dst=dst, max_hops=max_hops, directed=directed
+    ).localCheckpoint(eager=True)
+    adj = _adjacency(edges, src, dst, directed)
+    maxd_row = sp.agg(F.max("dist").alias("m")).first()
+    maxd = maxd_row["m"] if maxd_row and maxd_row["m"] is not None else 0
+    # delta starts 0 everywhere; rows carry (source, node, dist, sigma)
+    delta = sp.withColumn("delta", F.lit(0.0)).localCheckpoint(eager=True)
+    for d in range(maxd, 0, -1):
+        frontier = delta.where(F.col("dist") == d).select(
+            "source",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sig_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        preds = (
+            frontier.join(adj, frontier.w == adj.v)
+            .select(
+                "source",
+                F.col("u").alias("node"),
+                (
+                    (F.lit(1.0) + F.col("delta_w")) / F.col("sig_w")
+                ).alias("_part"),
+            )
+            .groupBy("source", "node")
+            .agg(F.sum("_part").alias("_contrib_over_sig"))
+        )
+        # only true SP-DAG predecessors (dist = d-1) absorb the
+        # contribution; sigma_v multiplies back in at the merge
+        delta = (
+            delta.join(preds, ["source", "node"], "left")
+            .select(
+                "source",
+                "node",
+                "dist",
+                "sigma",
+                F.when(
+                    F.col("dist") == d - 1,
+                    F.col("delta")
+                    + F.coalesce("_contrib_over_sig", F.lit(0.0))
+                    * F.col("sigma"),
+                )
+                .otherwise(F.col("delta"))
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        delta.where(F.col("node") != F.col("source"))
+        .groupBy(F.col("node").alias("v"))
+        .agg(F.sum("delta").alias("bc"))
     )
 
 
@@ -954,23 +1028,7 @@ def weighted_shortest_paths(
     and, like every loop in this module, each round is one join + one
     aggregation with an eager localCheckpoint (O(1) plan depth).
     Returns (node, dist)."""
-    adj = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"),
-        F.col(weight).cast("double").alias("w"),
-    )
-    if not directed:
-        adj = adj.unionAll(
-            edges.select(
-                F.col(dst).alias("u"), F.col(src).alias("v"),
-                F.col(weight).cast("double").alias("w"),
-            )
-        )
-    adj = (
-        adj.where(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .localCheckpoint(eager=False)
-    )
+    adj = _adjacency(edges, src, dst, directed, weight=weight)
     s = seeds.columns[0]
     dist = (
         seeds.select(F.col(s).alias("node"))

@@ -702,16 +702,19 @@ def events_retention_cohorts(spark, sf_dir):
 
 
 def events_moving_avg(spark, sf_dir):
-    """7-day trailing moving average of daily event volume — the
-    rolling window runs over the POST-aggregation daily table (one row
-    per day), so the unpartitioned window is a dimension-sized sort,
-    not a corpus-wide one."""
+    """7-calendar-day trailing moving average of daily event volume —
+    a RANGE frame over the integer day number, so calendar gaps do NOT
+    stretch the window (a ROWS frame would average the last 7 PRESENT
+    days). The rolling window runs over the POST-aggregation daily
+    table (one row per day), so the unpartitioned window is a
+    dimension-sized sort, not a corpus-wide one."""
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n_events"))
+        .withColumn("_dayn", F.datediff("day", F.lit("1970-01-01")))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy("_dayn").rangeBetween(-6, 0)
     return daily.select(
         F.col("day").cast("string").alias("day"),
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -3616,11 +3619,13 @@ GROUP BY cohort_day, day - cohort_day
 _o("events_moving_avg")(
     """
 WITH daily AS (
-  SELECT ts::DATE AS day, count(*) AS n_events FROM events GROUP BY 1
+  SELECT ts::DATE AS day, count(*) AS n_events,
+         (ts::DATE - DATE '1970-01-01') AS dayn
+  FROM events GROUP BY 1, 3
 )
 SELECT day::VARCHAR AS day, n_events::BIGINT AS n_events,
-       round(avg(n_events) OVER (ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+       round(avg(n_events) OVER (ORDER BY dayn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
 FROM daily
 """
 )

@@ -173,6 +173,7 @@ def streaming_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Stateless streaming twin of operators.tokenizer.bpe_apply: each
     arriving document is subword-tokenized with the SAME trained merge
@@ -185,4 +186,7 @@ def streaming_tokenize(
     (bpe_train), tokenize the firehose with the frozen vocabulary."""
     from ..operators.tokenizer import bpe_apply
 
-    return bpe_apply(docs_stream, merges, text_col=text_col, id_col=id_col)
+    return bpe_apply(
+        docs_stream, merges, text_col=text_col, id_col=id_col,
+        lowercase=lowercase,
+    )

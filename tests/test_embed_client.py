@@ -89,6 +89,31 @@ class TestRetry:
         assert emb(["a", "b", "c"]) == [vec_for(t) for t in ["a", "b", "c"]]
         assert emb.retries == 1
 
+    def test_partial_response_transient_even_with_narrow_retry_on(self):
+        """A wrong-length response retries/bisects even when retry_on
+        excludes RuntimeError — transient by contract."""
+        state = {"bad": 1}
+
+        def truncating(texts):
+            if state["bad"]:
+                state["bad"] = 0
+                return [vec_for(texts[0])]
+            return good_kernel(texts)
+
+        emb, _ = make(truncating, retry_on=(ConnectionError,))
+        assert emb(["a", "b"]) == [vec_for("a"), vec_for("b")]
+        assert emb.retries == 1
+
+    def test_poison_error_pickles(self):
+        import pickle
+
+        from datacapsule_spark.embed_client import EmbedPoisonError
+
+        err = EmbedPoisonError("bad row", ValueError("boom"))
+        back = pickle.loads(pickle.dumps(err))
+        assert isinstance(back, EmbedPoisonError)
+        assert back.text == "bad row" and "bad row" in str(back)
+
     def test_non_retryable_exception_propagates(self):
         def boom(texts):
             raise KeyboardInterrupt()

@@ -1985,17 +1985,30 @@ class TestGraphStats:
         ]
         df = spark.createDataFrame(edges, "src long, dst long")
         nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        all_src = spark.createDataFrame([(n,) for n in nodes], "n long")
+        for directed in (False, True):
+            exact = {
+                r["node"]: r["betweenness"]
+                for r in betweenness_centrality(df, directed=directed).collect()
+            }
+            # sources=all runs a DIFFERENT algorithm (Brandes backward
+            # sweep vs the pair-dependency triple join) — equality is a
+            # cross-implementation pin
+            full = {
+                r["node"]: r["betweenness"]
+                for r in betweenness_centrality(
+                    df, directed=directed, sources=all_src
+                ).collect()
+            }
+            for n in nodes:
+                assert full[n] == pytest.approx(exact[n], abs=1e-9), (
+                    directed,
+                    n,
+                )
         exact = {
             r["node"]: r["betweenness"]
             for r in betweenness_centrality(df).collect()
         }
-        all_src = spark.createDataFrame([(n,) for n in nodes], "n long")
-        full = {
-            r["node"]: r["betweenness"]
-            for r in betweenness_centrality(df, sources=all_src).collect()
-        }
-        for n in nodes:
-            assert full[n] == pytest.approx(exact[n], abs=1e-9)
 
         half = spark.createDataFrame(
             [(n,) for n in nodes[::2]], "n long"
