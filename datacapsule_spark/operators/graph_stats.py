@@ -1061,3 +1061,50 @@ def weighted_shortest_paths(
         )
         frontier = improved
     return dist
+
+
+def graph_summary(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """One-row graph health screen — the first thing to run on a new
+    KG build: n_nodes, n_edges (undirected, deduped), avg/max degree,
+    triangle count, open-wedge count and the global clustering
+    coefficient 3·triangles / wedges.  Degree stats are one
+    aggregation; triangles reuse the degree-ordered wedge join."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.avg("d"), 6).alias("avg_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        # wedges (paths of length 2 centered anywhere) = Σ C(d, 2)
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("_wedges"),
+    )
+    tri = triangle_count(und, src="u", dst="v")
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "avg_degree",
+        "max_degree",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("_wedges").alias("n_wedges"),
+        F.round(
+            F.when(
+                F.col("_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )

@@ -1800,6 +1800,15 @@ def graph_hits_cosupply(spark, sf_dir):
     )
 
 
+def graph_summary_cosupply(spark, sf_dir):
+    """One-row graph health screen for the co-supply graph: node/edge
+    counts, degree stats, triangles, wedges, global clustering — the
+    first query a user runs on a fresh KG build."""
+    from .operators.graph_stats import graph_summary
+
+    return graph_summary(_cosupply_pairs(spark, sf_dir))
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -2080,6 +2089,7 @@ QUERIES = {
     "dedup_passages_docs": dedup_passages_docs,
     "events_retention_cohorts": events_retention_cohorts,
     "events_moving_avg": events_moving_avg,
+    "graph_summary_cosupply": graph_summary_cosupply,
     # --- driver-witnessed in r04 ------------------------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
@@ -3784,6 +3794,37 @@ GROUP BY n_name
 """
 )
 
+
+_o("graph_summary_cosupply")(
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
+  GROUP BY 1
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), s AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         (sum(d) / 2)::BIGINT AS n_edges,
+         round(avg(d), 6) AS avg_degree,
+         max(d)::BIGINT AS max_degree,
+         sum(d * (d - 1) / 2)::BIGINT AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, avg_degree, max_degree, n_triangles, n_wedges,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0::DOUBLE * n_triangles / n_wedges
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM s, tri
+"""
+)
 
 _o("graph_wsssp_cosupply")(
     """
