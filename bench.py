@@ -7,12 +7,20 @@ per-query wall seconds + pipeline triples/sec.
 
     python bench.py              # full run (best-of-2 per measurement)
     python bench.py --quick      # headline queries only, no KG pipeline
-    python bench.py --repeats 3  # best-of-3
+    python bench.py --repeats 3  # best-of-3 (headline queries)
 
 Per-measurement best-of (default 2): identical runs on this shared
 host vary ±40%, so single-run numbers inherit host drift (two r04
 phantom +50-70% swings on untouched code). Best-of-N keeps the
 signal; the JSON carries "repeats" so rounds are comparable.
+
+KG-pipeline tiers (VERDICT r05 #1): each repeat of each tier runs in
+its OWN fresh JVM (a subprocess re-invoking this script with
+--pipeline-tier), best-of-3 by default — the r05 protocol of timing
+the tiers after 78 warm query runs in the same JVM inherited heap and
+host drift and produced an unattributable −31% headline swing.
+bench/BASELINE.md's own rule is fresh JVMs + repeats for exactly this
+measurement; the harness now enforces it.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -79,6 +88,57 @@ HEADLINE = [
 ]
 
 
+PIPELINE_CONFIGS = (
+    # key, use_lsh, dedup_near: exact-norm linking only (r01-comparable),
+    # full two-tier linking with MinHashLSH.approxSimilarityJoin (the
+    # benched number must exercise the LSH tier, VERDICT r01 #4), and the
+    # near-duplicate file screen (--dedup-near; xxhash64 fast path,
+    # VERDICT r02 #6)
+    ("kg_pipeline", False, False),
+    ("kg_pipeline_lsh", True, False),
+    ("kg_pipeline_neardedup", False, True),
+)
+
+
+def run_pipeline_tier(key: str, cpus: int) -> None:
+    """Child mode: one warm-up + one timed pipeline run of one tier in
+    THIS fresh JVM, one JSON line to stdout.  The parent spawns one
+    child per repeat, so no sample inherits another measurement's heap
+    or host state (the r05 number was taken after 78 query runs in the
+    same JVM and drifted −31% with no code change).  The first pipeline
+    run in any JVM pays ~10s of one-time JIT/codegen warm-up on a ~17s
+    job (measured r06: cold 28.0s vs steady-state 16.6s, identical
+    code) — a long production job amortizes that in its first seconds,
+    so the warm-up run goes untimed and the TIMED run reports
+    steady-state engine throughput (cold wall also emitted, for the
+    record)."""
+    from datacapsule_spark.corpus import ensure_corpus
+    from datacapsule_spark.pipeline import run_pipeline
+    from datacapsule_spark.session import get_spark
+
+    lsh, near = {k: (l, n) for k, l, n in PIPELINE_CONFIGS}[key]
+    spark = get_spark(
+        f"bench-{key}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = ensure_corpus("bench", spark=spark)  # cached; built by parent
+    repos = spark.read.parquet(corpus)
+    n_files = repos.count()
+    work = f"/tmp/bench_kg_work_{key}"
+    walls = []
+    for _ in range(2):  # run 0 = JIT warm-up (reported, not the metric)
+        shutil.rmtree(work, ignore_errors=True)  # resume would skip stages
+        t0 = time.time()
+        out = run_pipeline(spark, repos, work, use_lsh=lsh, dedup_near=near)
+        n_triples = out["triples"].count()
+        walls.append(time.time() - t0)
+    print(json.dumps(
+        {"tier": key, "files": n_files, "triples": n_triples,
+         "wall_sec": round(walls[1], 3), "cold_wall_sec": round(walls[0], 3)}
+    ))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     quick = "--quick" in sys.argv
@@ -93,6 +153,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    if "--pipeline-tier" in sys.argv:
+        run_pipeline_tier(
+            sys.argv[sys.argv.index("--pipeline-tier") + 1], cpus
+        )
+        return
 
     from datacapsule_spark.queries import QUERIES
     from datacapsule_spark.session import get_spark
@@ -129,49 +195,46 @@ def main() -> None:
 
     if not quick:
         # KG construction throughput (the north-rule metric):
-        # extraction → canonicalization → materialize on the bench corpus
+        # extraction → canonicalization → materialize on the bench
+        # corpus.  Build the corpus with the PARENT session (cached,
+        # untimed), then stop it — the tier samples each get a fresh,
+        # uncontended JVM via subprocess (VERDICT r05 #1: warm-session
+        # tier timings were unattributable).
         from datacapsule_spark.corpus import ensure_corpus
-        from datacapsule_spark.pipeline import run_pipeline
 
-        corpus = ensure_corpus("bench", spark=spark)  # 50k synthetic source files
-        repos = spark.read.parquet(corpus)
-        n_files = repos.count()
-        # three configs: exact-norm linking only (r01-comparable), the
-        # full two-tier linking with MinHashLSH.approxSimilarityJoin
-        # (the benched number must exercise the LSH tier, VERDICT r01
-        # #4), and the near-duplicate file screen (--dedup-near; its
-        # xxhash64 fast path gets a recorded number, VERDICT r02 #6)
-        configs = (
-            ("kg_pipeline", False, False),
-            ("kg_pipeline_lsh", True, False),
-            ("kg_pipeline_neardedup", False, True),
-        )
-        for key, lsh, near in configs:
-            work = f"/tmp/bench_kg_work_{key}"
-            kg_wall = float("inf")
-            for _ in range(repeats):
-                # fresh work dir each repeat — stage-checkpoint resume
-                # would otherwise make every repeat after the first a
-                # skip-everything no-op and the best-of a lie
-                shutil.rmtree(work, ignore_errors=True)
-                t0 = time.time()
-                out = run_pipeline(
-                    spark, repos, work, use_lsh=lsh, dedup_near=near
+        ensure_corpus("bench", spark=spark)  # 50k synthetic source files
+        spark.stop()
+        pipeline_repeats = 3  # bench/BASELINE.md protocol: best-of-3
+        result["pipeline_repeats"] = pipeline_repeats
+        me = os.path.abspath(__file__)
+        for key, _, _ in PIPELINE_CONFIGS:
+            best = None
+            for rep in range(pipeline_repeats):
+                proc = subprocess.run(
+                    [sys.executable, me, "--pipeline-tier", key],
+                    capture_output=True, text=True, timeout=1800,
                 )
-                n_triples = out["triples"].count()
-                kg_wall = min(kg_wall, time.time() - t0)
+                if proc.returncode != 0:
+                    print(proc.stderr[-2000:], file=sys.stderr)
+                    raise RuntimeError(f"pipeline tier {key} rep {rep} failed")
+                sample = json.loads(proc.stdout.strip().splitlines()[-1])
+                print(
+                    f"# {key} rep {rep}: {sample['wall_sec']}s "
+                    f"({sample['triples'] / sample['wall_sec']:.0f} triples/s,"
+                    " fresh JVM)",
+                    file=sys.stderr,
+                )
+                if best is None or sample["wall_sec"] < best["wall_sec"]:
+                    best = sample
+            wall = best["wall_sec"]
             result[key] = {
-                "files": n_files,
-                "triples": n_triples,
-                "wall_sec": round(kg_wall, 3),
-                "triples_per_sec": round(n_triples / kg_wall, 1),
-                "files_per_sec": round(n_files / kg_wall, 1),
+                "files": best["files"],
+                "triples": best["triples"],
+                "wall_sec": wall,
+                "cold_wall_sec": best["cold_wall_sec"],
+                "triples_per_sec": round(best["triples"] / wall, 1),
+                "files_per_sec": round(best["files"] / wall, 1),
             }
-            print(
-                f"# {key}: {n_triples} triples in {kg_wall:.1f}s "
-                f"({n_triples/kg_wall:.0f} triples/s)",
-                file=sys.stderr,
-            )
 
     print(json.dumps(result))
 

@@ -31,6 +31,11 @@ drops into the existing ``embed_fn`` seam unchanged:
   (e.g. the deterministic hash embedding, keeping the pipeline moving
   and the row *flagged* by its fallback vector) or raises
   ``EmbedPoisonError`` naming the row, if you prefer the job to stop.
+  A sustained outage looks like *every* row being poison — so when
+  more than ``max_fallback_frac`` of a multi-row batch falls back,
+  the call raises ``EmbedOutageError`` instead of silently shipping a
+  corpus of degenerate fallback embeddings (set it to None to accept
+  any fallback rate).
 
 Clock injection (``sleep`` / ``monotonic``) keeps the unit tests
 deterministic; defaults are the real ``time`` functions.
@@ -46,6 +51,32 @@ class TransientEmbedError(RuntimeError):
     """Raised internally for failures that are transient BY CONTRACT
     regardless of the user's ``retry_on`` tuple — e.g. a wrong-length
     (partial) response.  Always retried/bisected."""
+
+
+class EmbedOutageError(RuntimeError):
+    """More than ``max_fallback_frac`` of a batch fell back to
+    ``row_fallback`` — that is an API outage, not isolated poison
+    rows, and silently shipping a corpus of degenerate fallback
+    embeddings would be worse than failing the task."""
+
+    def __init__(self, n_fallback: int, n_batch: int, frac_limit: float):
+        super().__init__(
+            f"embedding API outage suspected: {n_fallback}/{n_batch} rows of "
+            f"one batch fell back to row_fallback (limit "
+            f"max_fallback_frac={frac_limit}). Failing instead of shipping "
+            "degenerate embeddings; retry when the API recovers, or raise "
+            "max_fallback_frac if this corpus genuinely has that many "
+            "poison rows."
+        )
+        self.n_fallback = n_fallback
+        self.n_batch = n_batch
+        self.frac_limit = frac_limit
+
+    def __reduce__(self):
+        return (
+            EmbedOutageError,
+            (self.n_fallback, self.n_batch, self.frac_limit),
+        )
 
 
 class EmbedPoisonError(RuntimeError):
@@ -86,11 +117,16 @@ class ResilientEmbedFn:
         max_calls_per_s: float | None = None,
         retry_on: tuple[type[BaseException], ...] = (Exception,),
         row_fallback: Callable[[str], Sequence[float]] | None = None,
+        max_fallback_frac: float | None = 0.5,
         sleep: Callable[[float], None] = time.sleep,
         monotonic: Callable[[], float] = time.monotonic,
     ):
         if max_retries < 0:
             raise ValueError("max_retries must be >= 0")
+        if max_fallback_frac is not None and not (
+            0.0 <= max_fallback_frac <= 1.0
+        ):
+            raise ValueError("max_fallback_frac must be in [0, 1] or None")
         self.fn = fn
         self.max_retries = max_retries
         self.backoff_s = backoff_s
@@ -100,6 +136,7 @@ class ResilientEmbedFn:
         )
         self.retry_on = retry_on
         self.row_fallback = row_fallback
+        self.max_fallback_frac = max_fallback_frac
         self._sleep = sleep
         self._monotonic = monotonic
         self._last_call = None  # type: float | None
@@ -157,7 +194,21 @@ class ResilientEmbedFn:
     def __call__(self, texts: list[str]):
         if not texts:
             return []
-        return self._embed(list(texts))
+        before = self.fallback_rows
+        out = self._embed(list(texts))
+        # outage guard: a sustained API failure bisects EVERY row down
+        # to row_fallback — indistinguishable from isolated poison rows
+        # by the per-executor counter alone, so cap the per-batch
+        # fallback fraction.  Single-row batches are exempt (one poison
+        # row is exactly what row_fallback is for).
+        n_fb = self.fallback_rows - before
+        if (
+            self.max_fallback_frac is not None
+            and len(texts) >= 2
+            and n_fb / len(texts) > self.max_fallback_frac
+        ):
+            raise EmbedOutageError(n_fb, len(texts), self.max_fallback_frac)
+        return out
 
 
 def hash_embed_fallback(text: str, dim: int | None = None):

@@ -29,31 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as array<string> (lowercased,
-    whitespace-tokenized) — JVM-side higher-order functions only.
-
-    NOTE: referencing this expression multiple times re-evaluates the
-    tokenization each time (no CSE across nested lambdas). Hot paths
-    must materialize it once via `with_shingles` and reference the
-    column."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i <= F.size(toks) - n,
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                    ),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
-
-
 def shingle_rows(
     docs: DataFrame,
     text_col: str = "text",

@@ -367,7 +367,12 @@ def link_prediction(
     (standard practice: a shared neighbor of huge degree carries ~no
     signal, 1/ln(d) -> 0, and costs the most).  The drop is reported
     nowhere silently: scores then deliberately exclude those hubs'
-    contributions, documented here.  All other shuffles are key-local
+    contributions, documented here.  With the cap set, ALL three
+    scores are computed over the same capped neighbor sets
+    ({z : deg(z) <= cap}) — in particular jaccard is
+    |A'∩B'| / |A'∪B'| of the capped sets, so it stays a true Jaccard
+    of a consistent set pair rather than mixing a capped intersection
+    with uncapped unions.  All other shuffles are key-local
     aggregations and broadcast-size degree joins.
     """
     und = (
@@ -388,6 +393,10 @@ def link_prediction(
     if max_neighbor_degree is not None:
         zdeg = zdeg.where(F.col("dz") <= max_neighbor_degree)
     nbz = nbrs.join(zdeg, "z")
+    if max_neighbor_degree is not None:
+        # jaccard denominators must use the SAME capped neighbor sets
+        # the intersection counts — recount degrees post-cap
+        deg = nbz.groupBy("n").agg(F.count("*").alias("d"))
     n1 = nbz.alias("n1")
     n2 = nbz.alias("n2")
     scored = (
@@ -621,6 +630,8 @@ def closeness_centrality(
     dst: str = "dst",
     directed: bool = False,
     max_hops: int = 20,
+    nodes_subset: DataFrame | None = None,
+    max_exact_nodes: int | None = 20_000,
 ) -> DataFrame:
     """Closeness centrality (n_reachable−1) / Σ dist for every node —
     the 'how central is this entity' KG-serving screen, computed as
@@ -629,17 +640,51 @@ def closeness_centrality(
     reachable set (distances INTO v on directed graphs, per the
     standard definition — we BFS on the reversed adjacency).  Isolated
     semantics: a node reaching nothing scores 0.
+
+    Guard rail (the containment_pairs max_block_df pattern): the
+    all-nodes default materializes the O(V·reachable) distance table —
+    the exact screen for KG-sized graphs, an un-runnable job at
+    web-graph V.  Above ``max_exact_nodes`` nodes the call REFUSES
+    with routing guidance instead of silently launching quadratic
+    state; pass ``nodes_subset`` (a 1-column DataFrame of node ids —
+    e.g. a deterministic sample, or the entities a report actually
+    shows) to compute EXACT closeness for just those nodes with
+    O(|subset|·V) state, or raise/None the ceiling deliberately.
     """
     nodes = (
         edges.select(F.col(src).alias("n"))
         .unionAll(edges.select(F.col(dst).alias("n")))
         .distinct()
     )
+    if nodes_subset is not None:
+        scol = nodes_subset.columns[0]
+        # only nodes that exist in the graph — a stray subset id would
+        # otherwise score itself as an isolated component
+        bfs_from = (
+            nodes_subset.select(F.col(scol).alias("n"))
+            .distinct()
+            .join(nodes, "n", "left_semi")
+        )
+    else:
+        bfs_from = nodes
+        if max_exact_nodes is not None:
+            n_nodes = nodes.count()
+            if n_nodes > max_exact_nodes:
+                raise ValueError(
+                    f"closeness_centrality: graph has {n_nodes} nodes > "
+                    f"max_exact_nodes={max_exact_nodes}; the all-nodes exact "
+                    "path materializes O(V*reachable) BFS state. Pass "
+                    "nodes_subset= (a sampled 1-column node DataFrame) for "
+                    "exact closeness on just those nodes, or raise "
+                    "max_exact_nodes / set it to None to force the exact "
+                    "all-pairs screen deliberately."
+                )
     # closeness uses distances d(u, v) for u reaching v: BFS from v on
     # the REVERSED graph enumerates exactly those u
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     d = multi_source_distances(
-        rev, nodes, src="src", dst="dst", max_hops=max_hops, directed=directed
+        rev, bfs_from, src="src", dst="dst", max_hops=max_hops,
+        directed=directed,
     )
     agg = d.groupBy("source").agg(
         F.count("*").alias("r"), F.sum("dist").alias("sum_d")
@@ -685,6 +730,12 @@ def hits(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # non-empty input can still yield an empty graph (all rows were
+        # self-loops, filtered above) — mirror closeness' empty handling
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
     h = nodes.select("node", F.lit(1.0 / n).alias("x")).localCheckpoint(
         eager=True
     )
@@ -776,6 +827,7 @@ def betweenness_centrality(
     directed: bool = False,
     max_hops: int = 20,
     sources: DataFrame | None = None,
+    max_exact_nodes: int | None = 20_000,
 ) -> DataFrame:
     """Exact betweenness centrality for every node, via the
     pair-dependency identity on the shortest-path-count table:
@@ -798,6 +850,14 @@ def betweenness_centrality(
     to estimate the full score.  sources=None (default) = exact.
     sources=all-nodes equals the exact path (cross-implementation
     pytest pin: two different algorithms, same numbers).
+
+    Guard rail (the containment_pairs max_block_df pattern): the exact
+    default is O(V²) σ-state — right for KG-sized screens, an
+    un-runnable job at web-graph V.  With sources=None and more than
+    ``max_exact_nodes`` nodes the call REFUSES with routing guidance
+    instead of silently launching all-pairs state; pass ``sources``
+    (sampled) for the O(|S|·V) Brandes estimator, or raise/None the
+    ceiling to force the exact screen deliberately.
     """
     nodes = (
         edges.select(F.col(src).alias("n"))
@@ -813,6 +873,18 @@ def betweenness_centrality(
         )
         scale *= nodes.count() / max(sset.count(), 1)
     else:
+        if max_exact_nodes is not None:
+            n_nodes = nodes.count()
+            if n_nodes > max_exact_nodes:
+                raise ValueError(
+                    f"betweenness_centrality: graph has {n_nodes} nodes > "
+                    f"max_exact_nodes={max_exact_nodes}; the exact default "
+                    "materializes the O(V^2) shortest-path-count table. Pass "
+                    "sources= (a sampled 1-column node DataFrame) for the "
+                    "O(|S|*V) Brandes subset estimator, or raise "
+                    "max_exact_nodes / set it to None to force the exact "
+                    "screen deliberately."
+                )
         # exact: pair-dependency identity over the all-pairs σ-table —
         # two equi-joins + one aggregation, no backward sweep.
         # paths FROM v (the v→t leg) need forward distances from v; on

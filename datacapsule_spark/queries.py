@@ -2021,64 +2021,11 @@ def graph_adjacent_names_salted(spark, sf_dir):
 # Registry order is the driver-gate rotation: the driver records CORRECTNESS
 # rows for the FIRST 50 entries only, so each round the entries without a
 # recent driver-witnessed row (plus any new queries) are moved to the front.
-# r05 front-block = the 37 entries whose last driver row is r03-or-older
-# (everything outside the r04 window), then queries new in r05.  Union of
-# r04+r05 driver rows re-covers the whole registry on current code.
+# r06 front-block = the 11 entries with NO driver row in any round (new in
+# r05, past that round's window — VERDICT r05 #3), then the r04-witnessed
+# block (oldest witness); the r05-witnessed 50 rotate to the back.
 QUERIES = {
-    # --- r05 rotation: last driver row r03-or-older -----------------------
-    "vector_knn_batch": vector_knn_batch,
-    "vector_label_centroid_sim": vector_label_centroid_sim,
-    "kg_triples_documents": kg_triples_documents,
-    "graph_bfs_customers_in_region": graph_bfs_customers_in_region,
-    "graph_adjacent_names": graph_adjacent_names,
-    "graph_adjacent_names_salted": graph_adjacent_names_salted,
-    "graph_triangles_cosupply": graph_triangles_cosupply,
-    "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
-    "vector_ann_ivf_batch": vector_ann_ivf_batch,
-    "graph_motif_open_wedges": graph_motif_open_wedges,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q5_regional_revenue": q5_regional_revenue,
-    "distinct_segments": distinct_segments,
-    "filter_valid_events": filter_valid_events,
-    "like_brand_parts": like_brand_parts,
-    "union_high_value": union_high_value,
-    "anti_join_idle_customers": anti_join_idle_customers,
-    "semi_join_ordered_parts": semi_join_ordered_parts,
-    "window_top3_orders_per_segment": window_top3_orders_per_segment,
-    "page2_orders": page2_orders,
-    "histogram_event_types": histogram_event_types,
-    "rollup_order_stats": rollup_order_stats,
-    "distinct_parts_per_flag": distinct_parts_per_flag,
-    "events_hourly": events_hourly,
-    "events_lag_delta": events_lag_delta,
-    "events_json_extract": events_json_extract,
-    "except_lapsed_customers": except_lapsed_customers,
-    "intersect_both_segments": intersect_both_segments,
-    "asof_click_last_purchase": asof_click_last_purchase,
-    "range_join_value_bands": range_join_value_bands,
-    "sessionize_batch": sessionize_batch,
-    "min_price_supplier_per_part": min_price_supplier_per_part,
-    "customers_with_big_order": customers_with_big_order,
-    "parts_above_brand_avg": parts_above_brand_avg,
-    "pivot_order_status": pivot_order_status,
-    "monthly_revenue": monthly_revenue,
-    # --- new in r05 (inserted here, inside the 50-entry window) -----------
-    "graph_ppr_cosupply": graph_ppr_cosupply,
-    "vector_ann_recall": vector_ann_recall,
-    "graph_motif_varlen_reach": graph_motif_varlen_reach,
-    "graph_lpa_cosupply": graph_lpa_cosupply,
-    "dedup_keep_best_docs": dedup_keep_best_docs,
-    "curation_temperature_mix_chars": curation_temperature_mix_chars,
-    "text_repetition_report": text_repetition_report,
-    "graph_linkpred_cosupply": graph_linkpred_cosupply,
-    "text_quality_classifier": text_quality_classifier,
-    "tokenizer_top_pairs": tokenizer_top_pairs,
-    "graph_hits_cosupply": graph_hits_cosupply,
-    "graph_betweenness_cosupply": graph_betweenness_cosupply,
-    "graph_clustering_cosupply": graph_clustering_cosupply,
-    # --- r05-new past the 50-entry driver window (gate-replica evidence
-    # this round; rotate into the window in r06) --------------------------
+    # --- never driver-witnessed (new in r05, outside its window) ----------
     "graph_closeness_cosupply": graph_closeness_cosupply,
     "graph_sssp_cosupply": graph_sssp_cosupply,
     "graph_walks_cosupply": graph_walks_cosupply,
@@ -2090,7 +2037,8 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_moving_avg": events_moving_avg,
     "graph_summary_cosupply": graph_summary_cosupply,
-    # --- driver-witnessed in r04 ------------------------------------------
+    # --- last driver row r04 (oldest witness; first 39 land in the r06
+    # window, remainder rotates forward in r07) ----------------------------
     "segment_price_quartiles": segment_price_quartiles,
     "user_event_sequences": user_event_sequences,
     "dedup_keep_docs": dedup_keep_docs,
@@ -2141,6 +2089,57 @@ QUERIES = {
     "rebalance_docs_sources": rebalance_docs_sources,
     "dedup_containment_docs": dedup_containment_docs,
     "vector_topk": vector_topk,
+    # --- driver-witnessed in r05 (freshest rows; back of the rotation) ----
+    "vector_knn_batch": vector_knn_batch,
+    "vector_label_centroid_sim": vector_label_centroid_sim,
+    "kg_triples_documents": kg_triples_documents,
+    "graph_bfs_customers_in_region": graph_bfs_customers_in_region,
+    "graph_adjacent_names": graph_adjacent_names,
+    "graph_adjacent_names_salted": graph_adjacent_names_salted,
+    "graph_triangles_cosupply": graph_triangles_cosupply,
+    "dedup_simhash_pairs_docs": dedup_simhash_pairs_docs,
+    "vector_ann_ivf_batch": vector_ann_ivf_batch,
+    "graph_motif_open_wedges": graph_motif_open_wedges,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_regional_revenue": q5_regional_revenue,
+    "distinct_segments": distinct_segments,
+    "filter_valid_events": filter_valid_events,
+    "like_brand_parts": like_brand_parts,
+    "union_high_value": union_high_value,
+    "anti_join_idle_customers": anti_join_idle_customers,
+    "semi_join_ordered_parts": semi_join_ordered_parts,
+    "window_top3_orders_per_segment": window_top3_orders_per_segment,
+    "page2_orders": page2_orders,
+    "histogram_event_types": histogram_event_types,
+    "rollup_order_stats": rollup_order_stats,
+    "distinct_parts_per_flag": distinct_parts_per_flag,
+    "events_hourly": events_hourly,
+    "events_lag_delta": events_lag_delta,
+    "events_json_extract": events_json_extract,
+    "except_lapsed_customers": except_lapsed_customers,
+    "intersect_both_segments": intersect_both_segments,
+    "asof_click_last_purchase": asof_click_last_purchase,
+    "range_join_value_bands": range_join_value_bands,
+    "sessionize_batch": sessionize_batch,
+    "min_price_supplier_per_part": min_price_supplier_per_part,
+    "customers_with_big_order": customers_with_big_order,
+    "parts_above_brand_avg": parts_above_brand_avg,
+    "pivot_order_status": pivot_order_status,
+    "monthly_revenue": monthly_revenue,
+    "graph_ppr_cosupply": graph_ppr_cosupply,
+    "vector_ann_recall": vector_ann_recall,
+    "graph_motif_varlen_reach": graph_motif_varlen_reach,
+    "graph_lpa_cosupply": graph_lpa_cosupply,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
+    "curation_temperature_mix_chars": curation_temperature_mix_chars,
+    "text_repetition_report": text_repetition_report,
+    "graph_linkpred_cosupply": graph_linkpred_cosupply,
+    "text_quality_classifier": text_quality_classifier,
+    "tokenizer_top_pairs": tokenizer_top_pairs,
+    "graph_hits_cosupply": graph_hits_cosupply,
+    "graph_betweenness_cosupply": graph_betweenness_cosupply,
+    "graph_clustering_cosupply": graph_clustering_cosupply,
 }
 
 # DuckDB-dialect oracles. Keys missing here → driver rows-only check.
@@ -3968,7 +3967,8 @@ WITH RECURSIVE pairs AS (
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
   WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
 ), e AS (
-  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)
 ), r AS (
   SELECT u AS source, u AS node, 0 AS d FROM (SELECT DISTINCT u FROM e)
   UNION
@@ -3993,7 +3993,8 @@ WITH RECURSIVE pairs AS (
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
   WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
 ), e AS (
-  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)
 ), seeds AS (
   SELECT u AS n FROM e GROUP BY u ORDER BY u LIMIT 5
 ), r AS (
@@ -4021,7 +4022,8 @@ WITH RECURSIVE pairs AS (
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
   WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
 ), e AS (
-  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)
 ), r AS (
   SELECT (SELECT min(a) FROM pairs) AS node, 0 AS d
   UNION

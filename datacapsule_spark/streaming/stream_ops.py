@@ -28,6 +28,38 @@ from ..extract import extract_triples
 from ..schema import REPOS
 
 
+def _word_shingles_stream(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> (lowercased,
+    whitespace-tokenized) — JVM-side higher-order functions only.
+
+    STREAM-ONLY shingle path: batch consumers must use
+    operators.dedup.shingle_rows (posexplode + window-lead, ~10×
+    faster — per-element lambda evaluation drops out of whole-stage
+    codegen).  This HOF expression exists because a streaming
+    DataFrame cannot run shingle_rows' sort window; it lives here, in
+    the only module allowed to use it, so it cannot be reached for by
+    batch code."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i <= F.size(toks) - n,
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j + 1).cast("int"))
+                            for j in range(n)
+                        ],
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
 def hourly_event_counts(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming tumbling-window aggregate with late-data watermark.
 
@@ -128,15 +160,17 @@ def streaming_decontaminate_hits(
     emission is what keeps the operator append-mode and
     backfill-equal to the batch join (asserted in
     tests/test_streaming.py)."""
-    from ..operators.dedup import _word_shingles
+    from ..operators.dedup import shingle_rows
 
+    # benchmark is STATIC — it gets the fast batch shingle path
     bench_grams = F.broadcast(
-        benchmark.select(F.explode(_word_shingles(text_col, shingle_n)).alias("g"))
+        shingle_rows(benchmark, text_col, id_col, shingle_n)
+        .select("g")
         .distinct()
     )
     grams = docs_stream.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_word_shingles(text_col, shingle_n)).alias("g"),
+        F.explode(_word_shingles_stream(text_col, shingle_n)).alias("g"),
     )
     return grams.join(bench_grams, "g").select("doc_id", "g")
 

@@ -184,6 +184,63 @@ class TestPoisonBisection:
         assert emb.calls == 0
 
 
+class TestOutageGuard:
+    """A sustained outage (every batch failing) must NOT silently
+    replace the corpus with fallback vectors — max_fallback_frac caps
+    the per-batch fallback fraction (ADVICE r05: embed_client.py)."""
+
+    @staticmethod
+    def outage_kernel(texts):
+        raise ConnectionError("api down")
+
+    def test_full_outage_raises_instead_of_mass_fallback(self):
+        from datacapsule_spark.embed_client import EmbedOutageError
+
+        emb, _ = make(
+            self.outage_kernel,
+            max_retries=0,
+            row_fallback=lambda t: [9.0] * 4,
+        )
+        with pytest.raises(EmbedOutageError, match="outage suspected"):
+            emb(["a", "b", "c", "d"])
+
+    def test_isolated_poison_under_threshold_still_falls_back(self):
+        emb, _ = make(
+            TestPoisonBisection.poison_kernel,
+            max_retries=0,
+            row_fallback=lambda t: [9.0] * 4,
+        )
+        out = emb(["a", "POISON!", "c", "d", "e"])  # 1/5 = 0.2 <= 0.5
+        assert out[1] == [9.0] * 4 and emb.fallback_rows == 1
+
+    def test_single_row_batch_exempt(self):
+        emb, _ = make(
+            self.outage_kernel, max_retries=0, row_fallback=lambda t: [9.0] * 4
+        )
+        assert emb(["solo"]) == [[9.0] * 4]  # 1-row batch IS a poison row
+
+    def test_guard_disabled_with_none(self):
+        emb, _ = make(
+            self.outage_kernel,
+            max_retries=0,
+            row_fallback=lambda t: [9.0] * 4,
+            max_fallback_frac=None,
+        )
+        assert emb(["a", "b", "c"]) == [[9.0] * 4] * 3
+        assert emb.fallback_rows == 3
+
+    def test_outage_error_pickles(self):
+        import pickle
+
+        from datacapsule_spark.embed_client import EmbedOutageError
+
+        err = EmbedOutageError(7, 8, 0.5)
+        back = pickle.loads(pickle.dumps(err))
+        assert isinstance(back, EmbedOutageError)
+        assert back.n_fallback == 7 and back.n_batch == 8
+        assert "7/8" in str(back)
+
+
 class TestSparkIntegration:
     def test_resilient_fn_through_embed_descriptors(self, spark):
         """The wrapper drops into the embed_fn seam unchanged and

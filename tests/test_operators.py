@@ -2025,6 +2025,99 @@ class TestGraphStats:
         med = sorted(est.values())[len(est) // 2]
         assert est[top] >= med
 
+    def test_hits_self_loops_only_returns_empty(self, spark):
+        """Non-empty edge input that is ALL self-loops leaves zero
+        nodes after loop filtering — hits must return an empty frame,
+        not ZeroDivisionError (ADVICE r05: graph_stats.py:583)."""
+        from datacapsule_spark.operators.graph_stats import hits
+
+        df = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+        out = hits(df, max_iter=5)
+        assert out.columns == ["node", "hub", "authority"]
+        assert out.count() == 0
+
+    def test_exact_centrality_guard_rails(self, spark):
+        """VERDICT r05 #2: the all-pairs exact defaults REFUSE above
+        max_exact_nodes with routing guidance; the sampled/subset scale
+        paths still run under the same ceiling, and the closeness
+        subset path equals the full run restricted to the subset."""
+        import random
+
+        from datacapsule_spark.operators.graph_stats import (
+            betweenness_centrality,
+            closeness_centrality,
+        )
+
+        rng = random.Random(53)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randint(0, 15), rng.randint(0, 15)) for _ in range(40)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        assert len(nodes) > 5
+
+        with pytest.raises(ValueError, match="max_exact_nodes"):
+            closeness_centrality(df, max_exact_nodes=5).collect()
+        with pytest.raises(ValueError, match="max_exact_nodes"):
+            betweenness_centrality(df, max_exact_nodes=5).collect()
+
+        sub = spark.createDataFrame([(n,) for n in nodes[:4]], "n long")
+        # subset/sampled paths are exempt from the ceiling by design
+        got = {
+            r["node"]: r["closeness"]
+            for r in closeness_centrality(
+                df, nodes_subset=sub, max_exact_nodes=5
+            ).collect()
+        }
+        full = {
+            r["node"]: r["closeness"]
+            for r in closeness_centrality(df).collect()
+        }
+        assert set(got) == set(nodes[:4])
+        for n in got:
+            assert got[n] == pytest.approx(full[n], abs=1e-9)
+        est = betweenness_centrality(df, sources=sub, max_exact_nodes=5)
+        assert est.count() == len(nodes)
+        # ceiling=None forces the exact screen deliberately
+        assert (
+            closeness_centrality(df, max_exact_nodes=None).count()
+            == len(nodes)
+        )
+
+    def test_linkpred_capped_jaccard_uses_capped_sets(self, spark):
+        """ADVICE r05: with max_neighbor_degree set, jaccard must be
+        |A'∩B'|/|A'∪B'| of the CAPPED neighbor sets (hub neighbors
+        dropped from numerator AND denominator), cross-checked against
+        a pure-Python replica."""
+        from datacapsule_spark.operators.graph_stats import link_prediction
+
+        # hub 0 adjacent to everyone; 1-2-3 a path; 4 hangs off 1
+        edges = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (1, 4)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        cap = 4  # drops hub 0 (degree 5) as a shared neighbor
+
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        capped = {
+            n: {z for z in zs if len(nbr[z]) <= cap} for n, zs in nbr.items()
+        }
+        rows = link_prediction(df, max_neighbor_degree=cap).collect()
+        assert rows, "capped run still finds non-hub wedges"
+        for r in rows:
+            a, b = r["a"], r["b"]
+            inter = capped[a] & capped[b]
+            union = capped[a] | capped[b]
+            assert r["common_neighbors"] == len(inter), (a, b)
+            assert r["jaccard"] == pytest.approx(
+                len(inter) / len(union), abs=1e-9
+            ), (a, b)
+
     def test_weighted_shortest_paths_matches_dijkstra(self, spark):
         """Bellman-Ford with a generous hop budget equals NetworkX
         Dijkstra distances; a tight hop budget enforces the ≤k-edge
