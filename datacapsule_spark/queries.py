@@ -1417,6 +1417,27 @@ def vector_knn_batch(spark, sf_dir):
     )
 
 
+def vector_knn_batch_arrow(spark, sf_dir):
+    """Same batch k-NN as vector_knn_batch but through the Arrow/BLAS
+    wide-dim kernel (vectorize.cosine_topk_batch_arrow: per-Arrow-batch
+    dgemm + map-side partial top-k). One oracle, two physical paths —
+    the gate witnesses that the numpy kernel and the JVM HOF fold are
+    the same operator."""
+    from .vectorize import cosine_topk_batch_arrow
+
+    e = _emb_double(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    res = cosine_topk_batch_arrow(
+        corpus, queries, k=5, id_col="vec_id", vec_col="embedding"
+    )
+    return res.select(
+        "query_id", "rn", "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
 def vector_ann_ivf_batch(spark, sf_dir):
     """The ANN scale path for J6, driver-gated (r02 VERDICT item 5):
     IVF index (distributed KMeans lists) + per-query probe. n_probe =
@@ -2025,6 +2046,8 @@ def graph_adjacent_names_salted(spark, sf_dir):
 # r05, past that round's window — VERDICT r05 #3), then the r04-witnessed
 # block (oldest witness); the r05-witnessed 50 rotate to the back.
 QUERIES = {
+    # --- new in r06 (never driver-witnessed) -------------------------------
+    "vector_knn_batch_arrow": vector_knn_batch_arrow,
     # --- never driver-witnessed (new in r05, outside its window) ----------
     "graph_closeness_cosupply": graph_closeness_cosupply,
     "graph_sssp_cosupply": graph_sssp_cosupply,
@@ -3710,6 +3733,22 @@ ORDER BY sim DESC, vec_id ASC LIMIT 20
 )
 
 _o("vector_knn_batch")(
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
+)
+SELECT query_id, rn, vec_id, sim FROM scored WHERE rn <= 5
+"""
+)
+
+_o("vector_knn_batch_arrow")(
     """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5

@@ -197,6 +197,94 @@ def cosine_topk_batch(
     )
 
 
+def cosine_topk_batch_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Wide-dim scale path for batch brute-force k-NN (exact, same
+    semantics as cosine_topk_batch).
+
+    The HOF fold in `_cosine_expr` is ideal at dim≈64 (stays in
+    whole-stage codegen, zero Python) but is an interpreted per-element
+    loop inside Catalyst — at the reference's production width
+    (dim=1024, .env.example:47) it goes compute-bound. This variant
+    drops to ONE Arrow-batched pandas kernel whose inner loop is a BLAS
+    matmul, with map-side partial top-k so almost nothing shuffles:
+
+      1. queries (small by contract — the same set the HOF path
+         broadcasts) are collected, L2-normalized, and shipped in the
+         UDF closure as a single (Q×D) float64 matrix;
+      2. mapInPandas over the corpus: each Arrow batch becomes a (B×D)
+         matrix, `sims = Ê @ Q̂ᵀ` (one dgemm), per-batch per-query
+         top-k via argpartition → ≤ batches·Q·k candidate rows of
+         (query_id, id, sim) leave Python;
+      3. a global exact per-query top-k over that tiny candidate set
+         (window on Q·k·n_batches rows — broadcastable at any corpus
+         size).
+
+    Zero-norm rows and zero-norm queries are dropped, matching the
+    HOF path's NULL-sim drop. Returns (query_id, <id_col>, sim, rn)
+    with rn in 1..k; join payload columns back by broadcasting this
+    result against the corpus if needed (candidates ≪ corpus).
+    """
+    from pyspark.sql import Window
+
+    qrows = queries.select("query_id", "qvec").collect()
+    qids_all = [r["query_id"] for r in qrows]
+    qmat_all = np.asarray([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if len(qrows):
+        qnorm = np.linalg.norm(qmat_all, axis=1)
+        keep = qnorm > 0.0
+        qids = [q for q, m in zip(qids_all, keep) if m]
+        qmat = qmat_all[keep] / qnorm[keep, None]
+    else:
+        qids, qmat = [], qmat_all
+
+    qid_t = queries.schema["query_id"].dataType.simpleString()
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, {id_col} {id_t}, sim double"
+
+    if not qids:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], out_schema + ", rn int")
+
+    qid_arr = np.asarray(qids)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(emb, axis=1)
+            ok = norms > 0.0
+            if not ok.any():
+                continue
+            ids = ids[ok]
+            sims = (emb[ok] / norms[ok, None]) @ qmat.T  # (B×Q) dgemm
+            b = sims.shape[0]
+            kk = min(k, b)
+            if kk < b:
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk×Q)
+            else:
+                top = np.tile(np.arange(b)[:, None], (1, len(qids)))
+            rows = top.T  # (Q×kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid_arr, kk),
+                    id_col: ids[rows].ravel(),
+                    "sim": np.take_along_axis(sims.T, rows, axis=1).ravel(),
+                }
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
 # ---------------------------------------------- IVF ANN (scale path #2)
 
 def ivf_index(

@@ -152,6 +152,82 @@ class TestIVF:
         assert centroids.shape == (4, 8)
 
 
+class TestArrowKNN:
+    """cosine_topk_batch_arrow (BLAS kernel + map-side partial top-k) is
+    the SAME operator as the JVM-HOF cosine_topk_batch — pinned row for
+    row at dim 64 and at the reference's production width 1024."""
+
+    def _corpus(self, spark, n, dim):
+        from datacapsule_spark.vectorize import hash_embed_text
+
+        rows = [(i, hash_embed_text(f"doc{i}", dim).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "id bigint, embedding array<double>")
+
+    @pytest.mark.parametrize("dim", [16, 1024])
+    def test_arrow_matches_hof(self, spark, dim):
+        import numpy as np
+
+        from datacapsule_spark.vectorize import (
+            cosine_topk_batch,
+            cosine_topk_batch_arrow,
+        )
+
+        df = self._corpus(spark, 200, dim).repartition(7)  # multi-batch merge
+        queries = df.where(F.col("id") < 4).select(
+            F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        corpus = df.where(F.col("id") >= 4)
+        hof = {
+            (r["query_id"], r["id"]): r["sim"]
+            for r in cosine_topk_batch(corpus, queries, k=7).collect()
+        }
+        arrow = {
+            (r["query_id"], r["id"]): r["sim"]
+            for r in cosine_topk_batch_arrow(corpus, queries, k=7).collect()
+        }
+        assert set(hof) == set(arrow)
+        assert np.allclose(
+            [hof[k] for k in sorted(hof)], [arrow[k] for k in sorted(arrow)]
+        )
+        # rn is a dense 1..k per query
+        rns = {}
+        from datacapsule_spark.vectorize import cosine_topk_batch_arrow as a
+
+        for r in a(corpus, queries, k=7).collect():
+            rns.setdefault(r["query_id"], []).append(r["rn"])
+        assert all(sorted(v) == list(range(1, 8)) for v in rns.values())
+
+    def test_arrow_drops_zero_vectors_like_hof(self, spark):
+        from datacapsule_spark.vectorize import cosine_topk_batch_arrow
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 1.0])],
+            "id bigint, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(100, [1.0, 1.0]), (101, [0.0, 0.0])],
+            "query_id bigint, qvec array<double>",
+        )
+        got = cosine_topk_batch_arrow(df, queries, k=10).collect()
+        # zero-norm corpus row 1 and zero-norm query 101 both dropped,
+        # matching the HOF path's NULL-sim semantics
+        assert {r["query_id"] for r in got} == {100}
+        assert {r["id"] for r in got} == {0, 2, 3}
+
+    def test_arrow_empty_queries(self, spark):
+        from datacapsule_spark.vectorize import cosine_topk_batch_arrow
+
+        df = self._corpus(spark, 5, 8)
+        queries = spark.createDataFrame(
+            [], "query_id bigint, qvec array<double>"
+        )
+        out = cosine_topk_batch_arrow(df, queries, k=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "id", "sim", "rn",
+        ]
+
+
 class TestSessionize:
     def test_fold_oracle(self):
         from datacapsule_spark.streaming.sessionize import fold_sessions
