@@ -1465,6 +1465,30 @@ def vector_ann_ivf_batch(spark, sf_dir):
     )
 
 
+def vector_ann_ivf_arrow(spark, sf_dir):
+    """vector_ann_ivf_batch through the BLAS scoring kernel
+    (ivf_topk_batch(kernel="arrow")): same index, same full probe, same
+    oracle — witnesses that the wide-dim kernel (bench/BASELINE.md r06:
+    9.5s HOF probe vs 1.0s BLAS at dim 1024) is the SAME operator, tie
+    behavior included."""
+    from .vectorize import ivf_index, ivf_topk_batch
+
+    e = _emb_double(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "label", "embedding"
+    )
+    corpus = e.where(F.col("id") >= 3)
+    indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    queries = e.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = ivf_topk_batch(
+        indexed, centroids, queries, k=5, n_probe=8, kernel="arrow"
+    )
+    return top.select(
+        "query_id", F.col("id").alias("vec_id"), F.round("sim", 6).alias("sim")
+    )
+
+
 def vector_ann_recall(spark, sf_dir):
     """The ANN recall screen (vectorize.ann_recall_at_k) driver-gated
     at its fixed point: with n_probe = n_lists the IVF probe IS brute
@@ -2048,6 +2072,7 @@ def graph_adjacent_names_salted(spark, sf_dir):
 QUERIES = {
     # --- new in r06 (never driver-witnessed) -------------------------------
     "vector_knn_batch_arrow": vector_knn_batch_arrow,
+    "vector_ann_ivf_arrow": vector_ann_ivf_arrow,
     # --- never driver-witnessed (new in r05, outside its window) ----------
     "graph_closeness_cosupply": graph_closeness_cosupply,
     "graph_sssp_cosupply": graph_sssp_cosupply,
@@ -3765,6 +3790,23 @@ SELECT query_id, rn, vec_id, sim FROM scored WHERE rn <= 5
 )
 
 _o("vector_ann_ivf_batch")(
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3
+)
+SELECT query_id, vec_id, round(s, 6) AS sim FROM scored WHERE rn <= 5
+"""
+)
+
+# same semantics, BLAS kernel — one oracle text, two physical paths
+_o("vector_ann_ivf_arrow")(
     """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3

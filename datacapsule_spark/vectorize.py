@@ -267,11 +267,15 @@ def cosine_topk_batch_arrow(
             sims = (emb[ok] / norms[ok, None]) @ qmat.T  # (B×Q) dgemm
             b = sims.shape[0]
             kk = min(k, b)
-            if kk < b:
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk×Q)
-            else:
-                top = np.tile(np.arange(b)[:, None], (1, len(qids)))
-            rows = top.T  # (Q×kk)
+            # per-query selection via lexsort on (sim desc, id asc) —
+            # the GLOBAL tie-break order, so map-side pruning stays
+            # lossless even when duplicate vectors (common in a corpus
+            # being dedup'd) tie exactly at the k-th boundary. Q is
+            # small by contract, so Q C-speed lexsorts per batch are
+            # noise next to the dgemm.
+            rows = np.empty((len(qids), kk), dtype=np.int64)
+            for qj in range(len(qids)):
+                rows[qj] = np.lexsort((ids, -sims[:, qj]))[:kk]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qid_arr, kk),
@@ -349,6 +353,7 @@ def ivf_topk_batch(
     n_probe: int = 4,
     id_col: str = "id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
 ) -> DataFrame:
     """Batched IVF probe: Q queries in ONE Spark job (r03 VERDICT item
     4 — the per-query `ivf_topk` loop is Q scheduler round-trips).
@@ -363,6 +368,20 @@ def ivf_topk_batch(
     pick up their qvec (broadcast) and rank per query via window —
     exactly `cosine_topk_batch`'s shape. Per query this returns the
     same rows as `ivf_topk(..., n_probe=n_probe)` (pytest-pinned).
+
+    kernel: how probed candidates are scored.
+      "hof"   — the JVM `_cosine_expr` fold; zero Python, right at
+                dim≈64.
+      "arrow" — the BLAS kernel (`cosine_topk_batch_arrow`'s shape):
+                one Arrow-batched numpy pass over the pruned
+                candidates with map-side per-query top-k. At the
+                reference's production width (dim=1024) the fold is
+                interpreter-bound — bench/BASELINE.md r06 measured the
+                probe's HOF scoring at 9.5s vs 1.0s for the BLAS
+                kernel over 4x the rows, so wide dims want "arrow".
+                Returns exactly (query_id, id_col, sim); extra payload
+                columns on `indexed` ride only on the hof kernel —
+                re-join them by id (candidates ≪ corpus).
     """
     import numpy as np
     from pyspark.sql import Window
@@ -395,6 +414,67 @@ def ivf_topk_batch(
     cand = indexed.where(F.col("list_id").isin(probed_lists)).join(
         F.broadcast(probes), "list_id"
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+
+    if kernel == "arrow":
+        # score each pruned candidate against ITS probing query with a
+        # single vectorized numpy pass per Arrow batch (row-wise dot
+        # against the closure-shipped normalized query matrix), then
+        # map-side per-query top-k in (sim desc, id asc) order so the
+        # global window sees ≤ batches·Q·k rows and ties resolve
+        # identically to the hof path.
+        qrows = queries.select("query_id", "qvec").collect()
+        qindex, qvecs = {}, []
+        for r in qrows:
+            v = np.asarray(list(r["qvec"]), dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0.0:  # zero-norm query scores NULL on the hof path
+                qindex[r["query_id"]] = len(qvecs)
+                qvecs.append(v / n)
+        qid_t = queries.schema["query_id"].dataType.simpleString()
+        id_t = indexed.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {qid_t}, {id_col} {id_t}, sim double"
+        if not qindex:
+            return indexed.sparkSession.createDataFrame([], out_schema)
+        qmat = np.asarray(qvecs)
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qi = pdf["query_id"].map(qindex)
+                emb = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(emb, axis=1)
+                ok = (norms > 0.0) & qi.notna().to_numpy()
+                if not ok.any():
+                    continue
+                sims = np.einsum(
+                    "ij,ij->i",
+                    emb[ok] / norms[ok, None],
+                    qmat[qi.to_numpy(dtype=float)[ok].astype(np.int64)],
+                )
+                out = pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy()[ok],
+                        id_col: pdf[id_col].to_numpy()[ok],
+                        "sim": sims,
+                    }
+                )
+                yield (
+                    out.sort_values(["sim", id_col], ascending=[False, True])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = cand.select("query_id", id_col, vec_col).mapInPandas(
+            score, out_schema
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
     scored = (
         cand.join(F.broadcast(queries), "query_id")
         .withColumn("sim", _cosine_expr(vec_col, "qvec"))
@@ -402,7 +482,6 @@ def ivf_topk_batch(
         # path drops them via cosine_topk's threshold — match it
         .where(F.col("sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)

@@ -214,6 +214,41 @@ class TestArrowKNN:
         assert {r["query_id"] for r in got} == {100}
         assert {r["id"] for r in got} == {0, 2, 3}
 
+    def test_ivf_arrow_kernel_matches_hof(self, spark):
+        """ivf_topk_batch(kernel='arrow') ≡ kernel='hof' on the probed
+        candidate set — partial probe (so the pruning path runs) and a
+        duplicate-vector corpus (so the k-boundary TIE-BREAK is
+        exercised: map-side top-k must prune in (sim desc, id asc)
+        order or a tied lower id gets lost)."""
+        from datacapsule_spark.vectorize import ivf_index, ivf_topk_batch
+
+        base = self._corpus(spark, 40, 16)
+        # clones of rows 20..29 under new ids → exact cosine ties
+        clones = base.where((F.col("id") >= 20) & (F.col("id") < 30)).select(
+            (F.col("id") + 1000).alias("id"), "embedding"
+        )
+        df = base.union(clones)
+        queries = df.where(F.col("id") < 3).select(
+            F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        corpus = df.where(F.col("id") >= 3)
+        indexed, cents = ivf_index(corpus, n_lists=4, seed=7)
+        for n_probe in (2, 4):
+            hof = {
+                (r["query_id"], r["id"], round(r["sim"], 9))
+                for r in ivf_topk_batch(
+                    indexed, cents, queries, k=8, n_probe=n_probe
+                ).collect()
+            }
+            arrow = {
+                (r["query_id"], r["id"], round(r["sim"], 9))
+                for r in ivf_topk_batch(
+                    indexed, cents, queries, k=8, n_probe=n_probe,
+                    kernel="arrow",
+                ).collect()
+            }
+            assert hof == arrow, (n_probe, hof ^ arrow)
+
     def test_arrow_empty_queries(self, spark):
         from datacapsule_spark.vectorize import cosine_topk_batch_arrow
 
