@@ -168,6 +168,34 @@ def main() -> None:
         ).count(),
     )
 
+    # --- same probe through the BLAS kernel (r06: ivf_topk_batch
+    # kernel="arrow") — identical candidate pruning, scoring moves from
+    # the JVM HOF fold to one dgemm-shaped numpy pass per Arrow batch
+    bench(
+        "ivf_probe_batch_arrow",
+        lambda: ivf_topk_batch(
+            indexed, centroids, qdf, k=10, n_probe=N_PROBE,
+            id_col="vec_id", kernel="arrow",
+        ).count(),
+    )
+    # inline correctness: kernels agree row-for-row on this corpus
+    probe_hof = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_batch(
+            indexed, centroids, qdf, k=10, n_probe=N_PROBE, id_col="vec_id"
+        ).collect()
+    }
+    probe_arrow = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_batch(
+            indexed, centroids, qdf, k=10, n_probe=N_PROBE,
+            id_col="vec_id", kernel="arrow",
+        ).collect()
+    }
+    assert probe_hof == probe_arrow, (
+        len(probe_hof - probe_arrow), len(probe_arrow - probe_hof)
+    )
+
     # --- recall screen (probe vs exact, one job) + inline correctness
     rec = bench(
         "ann_recall",
