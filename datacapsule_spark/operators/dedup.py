@@ -641,6 +641,7 @@ def embedding_cosine_pairs(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold.
 
@@ -658,6 +659,16 @@ def embedding_cosine_pairs(
 
     exact=True is the all-pairs theta join — a nested-loop cartesian at
     scale, kept as the small-input / DuckDB-oracle twin only.
+
+    kernel: how candidate pairs are scored — "hof" (JVM fold, right at
+    dim≈64), "arrow" (one numpy einsum per Arrow batch — at the
+    reference's production width dim=1024 the fold is ~20x slower,
+    bench/vector1024.py), or "auto" (default: peek the width, arrow at
+    dim ≥ vectorize.AUTO_KERNEL_DIM). Kernels are row-identical
+    including the degenerate zero-norm case: cosine is undefined
+    there, and both kernels drop the pair (hof via the NULL-guarded
+    division — Spark 4's default ANSI mode would otherwise THROW
+    DIVIDE_BY_ZERO on one bad row — arrow via an isfinite mask).
     """
     a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
@@ -698,13 +709,52 @@ def embedding_cosine_pairs(
             .distinct()
         )
         cand = pair_ids.join(a, "a").join(b, "b")
+
+    if kernel == "auto":
+        from ..vectorize import AUTO_KERNEL_DIM
+
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 0
+        kernel = "arrow" if dim >= AUTO_KERNEL_DIM else "hof"
+
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        a_t = cand.schema["a"].dataType.simpleString()
+        b_t = cand.schema["b"].dataType.simpleString()
+        out_schema = f"a {a_t}, b {b_t}, cos double"
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                va = np.asarray(pdf["va"].tolist(), dtype=np.float64)
+                vb = np.asarray(pdf["vb"].tolist(), dtype=np.float64)
+                dots = np.einsum("ij,ij->i", va, vb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (
+                        np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+                    )
+                # zero-norm side → NaN here, NULL on the hof path
+                # (guarded division) — dropped by both
+                m = np.isfinite(cos) & (cos >= threshold)
+                if m.any():
+                    yield pd.DataFrame(
+                        {"a": pdf["a"][m], "b": pdf["b"][m], "cos": cos[m]}
+                    )
+
+        return cand.select("a", "b", "va", "vb").mapInPandas(score, out_schema)
+
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        cand.withColumn("cos", dot / (na * nb))
+        # when-guard: zero-norm → NULL (cosine undefined; ANSI mode
+        # would throw on the bare division), dropped by the filter
+        cand.withColumn("cos", F.when(na * nb > 0, dot / (na * nb)))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

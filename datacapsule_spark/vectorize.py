@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 EMBED_DIM = 64
 
+# kernel="auto" picks the Arrow/BLAS scoring kernel at or above this
+# vector width (bench/vector1024.py: the JVM HOF fold is 22x slower at
+# dim 1024 and wins below ~dim 64; the crossover sits between)
+AUTO_KERNEL_DIM = 128
+
 
 # ------------------------------------------------------- descriptors (G6)
 
@@ -145,7 +150,11 @@ def _cosine_expr(vec_col: str, qname: str = "_q") -> F.Column:
     nb = F.sqrt(
         F.aggregate(F.col(qname), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return dot / (na * nb)
+    # zero-norm guard: cosine is undefined there, and Spark 4 runs ANSI
+    # mode by default, where the bare division THROWS DIVIDE_BY_ZERO —
+    # one degenerate embedding row would kill a whole-corpus job. NULL
+    # instead; every consumer already drops NULL sims.
+    return F.when(na * nb > 0, dot / (na * nb))
 
 
 def cosine_topk(
@@ -353,7 +362,7 @@ def ivf_topk_batch(
     n_probe: int = 4,
     id_col: str = "id",
     vec_col: str = "embedding",
-    kernel: str = "hof",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Batched IVF probe: Q queries in ONE Spark job (r03 VERDICT item
     4 — the per-query `ivf_topk` loop is Q scheduler round-trips).
@@ -382,9 +391,20 @@ def ivf_topk_batch(
                 Returns exactly (query_id, id_col, sim); extra payload
                 columns on `indexed` ride only on the hof kernel —
                 re-join them by id (candidates ≪ corpus).
+      "auto"  — (default) peek the first query vector's width and pick:
+                arrow at dim ≥ 128 (AUTO_KERNEL_DIM), hof below. The
+                kernels are row-identical (pytest-pinned incl. exact
+                ties), so this is purely a physical-plan choice — the
+                22x cliff at production width should not require the
+                caller to know it exists.
     """
     import numpy as np
     from pyspark.sql import Window
+
+    if kernel == "auto":
+        first_q = queries.select("qvec").first()
+        dim = len(first_q[0]) if first_q and first_q[0] is not None else 0
+        kernel = "arrow" if dim >= AUTO_KERNEL_DIM else "hof"
 
     c = np.asarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)

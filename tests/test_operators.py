@@ -150,6 +150,57 @@ class TestDedup:
         want = np.dot([1, 0, 0], [0.999, 0.04, 0]) / np.linalg.norm([0.999, 0.04, 0])
         assert out[(0, 1)] == pytest.approx(want, abs=1e-9)
 
+    def test_embedding_cosine_pairs_arrow_kernel_parity(self, spark):
+        """kernel='arrow' ≡ kernel='hof' row-for-row at wide dim, and
+        the 'auto' default resolves to the same rows (arrow at dim 256
+        ≥ AUTO_KERNEL_DIM). The corpus plants zero-norm vectors: under
+        Spark 4's default ANSI mode the pre-r06 unguarded division
+        THREW DIVIDE_BY_ZERO on them (one degenerate row would kill a
+        whole-corpus job); now cosine is NULL/NaN there and the pair is
+        dropped by every kernel."""
+        from datacapsule_spark.operators.dedup import embedding_cosine_pairs
+
+        rng = np.random.RandomState(11)
+        dim = 256
+        base = rng.randn(6, dim)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+        rows.append((6, [float(x) for x in base[0] * 0.7]))  # exact dir dup of 0
+        rows.append((7, [0.0] * dim))  # zero-norm: undefined cosine
+        rows.append((8, [0.0] * dim))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        def run(kernel):
+            return {
+                (r["a"], r["b"]): round(r["cos"], 9)
+                for r in embedding_cosine_pairs(
+                    df, threshold=0.95, exact=True, kernel=kernel
+                ).collect()
+            }
+
+        hof, arrow, auto = run("hof"), run("arrow"), run("auto")
+        assert (0, 6) in hof  # the planted pair survives
+        assert not any(7 in p or 8 in p for p in hof)  # zero-norm dropped
+        assert hof == arrow == auto
+
+    def test_cosine_hof_zero_vector_no_ansi_crash(self, spark):
+        """_cosine_expr's zero-norm guard: a degenerate all-zeros
+        embedding (or query) must yield NULL sim and fall out of the
+        top-k — NOT raise DIVIDE_BY_ZERO under Spark 4's default ANSI
+        mode (pre-r06 the bare division did)."""
+        from datacapsule_spark.vectorize import cosine_topk_batch
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+            "id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+            "query_id long, qvec array<double>",
+        )
+        got = cosine_topk_batch(emb, q, k=3).collect()
+        assert {r["id"] for r in got if r["query_id"] == 10} == {0, 1}
+        assert not any(r["query_id"] == 11 for r in got)  # zero-norm query
+
     def test_embedding_dedup_bucketed_recall(self, spark):
         """The DEFAULT (bucketed LSH) path must find >=95% of the exact
         all-pairs matches at tau=0.9, with zero false positives (the
