@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .canonicalize import connected_components
 from .extract import extract_triples
+from .extraction_schema import ALL_PREDICATES
 from .lineage import StageTracker, input_signature
 from .linking import alias_pairs
 from .materialize import (
@@ -144,6 +145,7 @@ def run_pipeline(
         lambda: extract_triples(source),
         partition_by=["pred"],
         params=params["10_extract"],
+        partition_cardinality=len(ALL_PREDICATES),
     )
     return _downstream(tracker, triples, use_lsh, params["downstream"])
 
@@ -201,6 +203,7 @@ def _downstream(
         partition_by=["pred"],
         params=down,
         compression=_os.environ.get("SPARK_GRAFT_CANON_CODEC") or None,
+        partition_cardinality=len(ALL_PREDICATES),
     )
 
     nodes = tracker.materialize(
@@ -310,6 +313,7 @@ def run_incremental(
         lambda: extract_triples(source),
         partition_by=["pred"],
         params={"delta": sig, "min_code_quality": min_code_quality},
+        partition_cardinality=len(ALL_PREDICATES),
     )
 
     deltas = sorted(  # zero-padded <seq> makes name order = ingest order
