@@ -2059,6 +2059,139 @@ def graph_adjacent_names_salted(spark, sf_dir):
     )
 
 
+# --- multimodal codec gates ------------------------------------------------
+# The media codecs (operators/media_codecs.py — real WAV/PPM/BMP/Y4M
+# parsers) can't be re-run inside DuckDB, but their OUTPUT on payloads
+# synthesized from closed-form parameters is itself closed-form: a solid
+# r-colored w×h PPM must decode to mean_r = r, a constant-value PCM
+# stream to rms = v/32768, a luma-ramp Y4M to motion = step. Each gate
+# below synthesizes payloads deterministically from `documents` rows,
+# runs the real encode→decode→feature kernels distributed (Arrow-batched
+# mapInPandas), and the oracle states the arithmetic the decoded stats
+# MUST equal — any byte-level corruption in a codec breaks the hash.
+
+
+def _media_from_docs(spark, sf_dir, keep_mod: int, builder):
+    """documents → MEDIA frame via an Arrow-batched kernel. builder
+    (doc_id, n_chars) -> (kind, payload bytes, mime, w, h, duration)."""
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % keep_mod == 0).select(
+        "doc_id", "n_chars"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                kind, payload, mime, w, h, dur = builder(int(did), int(nch))
+                rows.append((str(did), kind, payload, mime, w, h, dur))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA.fields]
+            )
+
+    return docs.mapInPandas(gen, schema=MEDIA)
+
+
+def multimodal_image_stats(spark, sf_dir):
+    """Solid-color PPM per document (w = 4 + doc_id%13, h = 3 + doc_id%7,
+    rgb from doc_id/n_chars arithmetic) → real encode_ppm → distributed
+    decode_ppm + image_features. Solid color ⇒ luma_std = edge = entropy
+    = 0 and channel means equal the planted color — closed-form oracle."""
+    import numpy as np
+
+    from .operators import media_codecs as mc
+    from .operators.multimodal import decode_media_features
+
+    def build(did, nch):
+        w, h = 4 + did % 13, 3 + did % 7
+        rgb = (did % 256, nch % 256, (did * 7 + 3) % 256)
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[:, :] = rgb
+        return "image", mc.encode_ppm(img), "image/x-portable-pixmap", w, h, None
+
+    media = _media_from_docs(spark, sf_dir, 5, build)
+    feats = decode_media_features(media)
+    f = F.col("features")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.round(f[0], 6).alias("width"),
+        F.round(f[1], 6).alias("height"),
+        F.round(f[2], 6).alias("mean_r"),
+        F.round(f[3], 6).alias("mean_g"),
+        F.round(f[4], 6).alias("mean_b"),
+        F.round(f[5], 6).alias("luma_std"),
+        F.round(f[6], 6).alias("edge_energy"),
+        F.round(f[7], 6).alias("luma_entropy"),
+    )
+
+
+def multimodal_audio_stats(spark, sf_dir):
+    """Constant-value PCM16 WAV per document (value v = doc_id%1000,
+    n = 100 + doc_id%50 samples at 8 kHz) → real encode_wav_pcm16 →
+    distributed decode_wav + audio_features. DC signal ⇒ rms = peak =
+    v/32768 (bit-exact: v·2⁻¹⁵ and its square are representable, so the
+    mean/sqrt chain is exact), zcr = 0, centroid rounds to 0 — oracle is
+    the arithmetic."""
+    import numpy as np
+
+    from .operators import media_codecs as mc
+    from .operators.multimodal import decode_media_features
+
+    def build(did, nch):
+        v, n = did % 1000, 100 + did % 50
+        x = np.full(n, v / 32767.0)
+        return "audio", mc.encode_wav_pcm16(x, 8000), "audio/wav", None, None, None
+
+    media = _media_from_docs(spark, sf_dir, 7, build)
+    feats = decode_media_features(media)
+    f = F.col("features")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.round(f[0], 6).alias("duration_s"),
+        F.round(f[1], 6).alias("rms"),
+        F.round(f[2], 6).alias("zcr"),
+        F.round(f[3], 6).alias("centroid_hz"),
+        F.round(f[4], 6).alias("peak"),
+    )
+
+
+def multimodal_video_stats(spark, sf_dir):
+    """Luma-ramp Y4M per document (n = 2 + doc_id%4 frames at 2 fps,
+    frame i luma = doc_id%256 + i, capped so the ramp never wraps) →
+    real encode_y4m → distributed y4m_info + O(1)-seek frame decode.
+    All frames fall in the ≤8-sample window ⇒ mean_luma = base +
+    (n-1)/2 and motion = 1 exactly — closed-form oracle."""
+    import numpy as np
+
+    from .operators import media_codecs as mc
+    from .operators.multimodal import decode_media_features
+
+    def build(did, nch):
+        base, n = did % 256, 2 + did % 4
+        frames = np.stack(
+            [np.full((2, 2), base + i, dtype=np.uint8) for i in range(n)]
+        )
+        dur = int(n * 1000 / 2)
+        return "video", mc.encode_y4m(frames, fps=2), "video/x-yuv4mpeg", 2, 2, dur
+
+    media = _media_from_docs(spark, sf_dir, 11, build).where(
+        F.col("media_id").cast("bigint") % 256 < 248
+    )
+    feats = decode_media_features(media)
+    f = F.col("features")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.round(f[0], 6).alias("duration_s"),
+        F.round(f[1], 6).alias("fps"),
+        F.round(f[2], 6).alias("n_frames"),
+        F.round(f[3], 6).alias("mean_luma"),
+        F.round(f[4], 6).alias("motion"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -2071,6 +2204,9 @@ def graph_adjacent_names_salted(spark, sf_dir):
 # block (oldest witness); the r05-witnessed 50 rotate to the back.
 QUERIES = {
     # --- new in r06 (never driver-witnessed) -------------------------------
+    "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
+    "multimodal_video_stats": multimodal_video_stats,
     "vector_knn_batch_arrow": vector_knn_batch_arrow,
     "vector_ann_ivf_arrow": vector_ann_ivf_arrow,
     # --- never driver-witnessed (new in r05, outside its window) ----------
@@ -4461,6 +4597,52 @@ SELECT n_name,
        count(DISTINCT c_name)::BIGINT AS n_distinct
 FROM nation JOIN customer ON n_nationkey = c_nationkey
 GROUP BY n_name
+"""
+)
+
+# Multimodal codec gates: the Spark side runs the REAL codecs
+# (encode_ppm→decode_ppm etc., distributed); the oracle states the
+# closed-form arithmetic the decoded statistics must equal (solid color
+# ⇒ channel means = planted color; DC PCM ⇒ rms = v/32768 bit-exact;
+# luma ramp ⇒ motion = 1). A single corrupted byte anywhere in a codec
+# breaks the value hash.
+
+_o("multimodal_image_stats")(
+    """
+SELECT doc_id,
+       round((4 + doc_id % 13)::DOUBLE, 6) AS width,
+       round((3 + doc_id % 7)::DOUBLE, 6) AS height,
+       round((doc_id % 256)::DOUBLE, 6) AS mean_r,
+       round((n_chars % 256)::DOUBLE, 6) AS mean_g,
+       round(((doc_id * 7 + 3) % 256)::DOUBLE, 6) AS mean_b,
+       0.0 AS luma_std,
+       0.0 AS edge_energy,
+       0.0 AS luma_entropy
+FROM documents WHERE doc_id % 5 = 0
+"""
+)
+
+_o("multimodal_audio_stats")(
+    """
+SELECT doc_id,
+       round((100 + doc_id % 50) / 8000.0, 6) AS duration_s,
+       round((doc_id % 1000) / 32768.0, 6) AS rms,
+       0.0 AS zcr,
+       0.0 AS centroid_hz,
+       round((doc_id % 1000) / 32768.0, 6) AS peak
+FROM documents WHERE doc_id % 7 = 0
+"""
+)
+
+_o("multimodal_video_stats")(
+    """
+SELECT doc_id,
+       round((2 + doc_id % 4) / 2.0, 6) AS duration_s,
+       2.0 AS fps,
+       round((2 + doc_id % 4)::DOUBLE, 6) AS n_frames,
+       round((doc_id % 256) + (doc_id % 4 + 1) / 2.0, 6) AS mean_luma,
+       1.0 AS motion
+FROM documents WHERE doc_id % 11 = 0 AND doc_id % 256 < 248
 """
 )
 

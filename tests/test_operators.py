@@ -1024,11 +1024,201 @@ class TestMultimodal:
         assert "payload" not in plan.columns
         assert [r["sample_ts_ms"] for r in plan.collect()] == [0, 1000, 2000, 3000]
 
-    def test_decode_stub_raises(self):
-        from datacapsule_spark.operators.multimodal import _decode_image
+    def test_compressed_decode_raises_named(self):
+        # compressed formats still stub (codec libs absent) — the error
+        # names the format, and unknown mimes are a different error
+        from datacapsule_spark.operators.multimodal import decode_media
 
-        with pytest.raises(NotImplementedError):
-            _decode_image(b"x")
+        with pytest.raises(NotImplementedError, match="image/png"):
+            decode_media("image/png", b"\x89PNG...")
+        with pytest.raises(ValueError, match="unknown media mime"):
+            decode_media("application/x-mystery", b"x")
+
+    # ---- real codecs (media_codecs.py): WAV / PPM / BMP / Y4M ----
+
+    def test_wav_roundtrip_and_dsp_features(self):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import (
+            audio_features,
+            decode_wav,
+            encode_wav_pcm16,
+        )
+
+        rate, freq, dur = 8000, 440.0, 1.0
+        t = np.arange(int(rate * dur)) / rate
+        x = 0.5 * np.sin(2 * np.pi * freq * t)
+        payload = encode_wav_pcm16(x, rate)
+        r2, decoded = decode_wav(payload)
+        assert r2 == rate
+        assert decoded.shape == (len(x), 1)
+        assert np.abs(decoded[:, 0] - x).max() < 1e-3  # int16 quantization
+
+        dur_s, rms, zcr, centroid, peak = audio_features(r2, decoded)
+        assert dur_s == pytest.approx(1.0)
+        assert rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)  # sine RMS = A/√2
+        assert zcr == pytest.approx(2 * freq / rate, rel=0.01)  # 2f crossings/s
+        assert centroid == pytest.approx(freq, rel=0.02)  # pure tone
+        assert peak == pytest.approx(0.5, rel=1e-2)
+
+    def test_wav_stereo_and_chunk_walk(self):
+        import struct
+
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import decode_wav, encode_wav_pcm16
+
+        x = np.stack([np.linspace(-0.5, 0.5, 100), np.zeros(100)], axis=1)
+        payload = encode_wav_pcm16(x, 16000)
+        # splice an unrelated LIST chunk between fmt and data — a real
+        # decoder must walk chunks, not assume fixed offsets
+        body = b"INFOjunkchunk!"
+        chunk = b"LIST" + struct.pack("<I", len(body)) + body
+        spliced = payload[:36] + chunk + payload[36:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate, decoded = decode_wav(spliced)
+        assert rate == 16000 and decoded.shape == (100, 2)
+        assert np.abs(decoded - x).max() < 1e-3
+
+    def test_ppm_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import (
+            decode_bmp,
+            decode_ppm,
+            encode_bmp,
+            encode_ppm,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → BMP row pad
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        # PPM header comments are part of the format
+        commented = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(commented), img)
+
+    def test_image_features_and_resize(self):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import image_features, resize_area
+
+        flat = np.full((8, 8, 3), 100, dtype=np.uint8)
+        w, h, mr, mg, mb, luma_std, edge, entropy = image_features(flat)
+        assert (w, h, mr, mg, mb) == (8.0, 8.0, 100.0, 100.0, 100.0)
+        assert luma_std == 0.0 and edge == 0.0 and entropy == 0.0  # uniform
+
+        # bin-center grays (16, 48, ..., 240): one per histogram bin,
+        # immune to float-luma rounding at the bin edges
+        grad = np.tile(np.arange(16, 256, 32, dtype=np.uint8)[None, :, None], (8, 1, 3))
+        feats = image_features(grad)
+        assert feats[6] > 0 and feats[7] > 2.9  # edges present, ~8 even bins
+
+        # exact box average on a 2x2 checkerboard block
+        checker = np.zeros((4, 4, 3), dtype=np.uint8)
+        checker[::2, ::2] = 200
+        checker[1::2, 1::2] = 200
+        small = resize_area(checker, 2, 2)
+        assert small.shape == (2, 2, 3) and np.all(small == 100)
+        # non-integer factor falls back to nearest-neighbor mapping
+        assert resize_area(checker, 3, 3).shape == (3, 3, 3)
+
+    def test_y4m_seek_decodes_only_target_frame(self):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import (
+            encode_y4m,
+            y4m_frame_at,
+            y4m_info,
+        )
+
+        # 10 frames at 5 fps, frame i has constant luma 10*i
+        frames = np.stack([np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(10)])
+        payload = encode_y4m(frames, fps=5)
+        info = y4m_info(payload)
+        assert (info["w"], info["h"], info["n_frames"]) == (6, 4, 10)
+        # ts 1200ms at 5fps → frame 6
+        frame = y4m_frame_at(payload, 1200, info)
+        assert frame.shape == (4, 6) and frame[0, 0] == 60
+        assert y4m_frame_at(payload, 10_000, info) is None  # past EOS
+
+    def test_decode_media_features_spark(self, spark):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import (
+            encode_ppm,
+            encode_wav_pcm16,
+            encode_y4m,
+        )
+        from datacapsule_spark.operators.multimodal import MEDIA, decode_media_features
+
+        img = np.full((4, 4, 3), 50, dtype=np.uint8)
+        wav = encode_wav_pcm16(np.zeros(800), 8000)
+        vid = encode_y4m(np.full((4, 2, 2), 7, dtype=np.uint8), fps=2)
+        rows = [
+            ("img1", "image", bytearray(encode_ppm(img)), "image/x-portable-pixmap", 4, 4, None),
+            ("aud1", "audio", bytearray(wav), "audio/wav", None, None, 100),
+            ("vid1", "video", bytearray(vid), "video/x-yuv4mpeg", 2, 2, 2000),
+            ("bad1", "image", bytearray(b"\x89PNG fake"), "image/png", 1, 1, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA)
+        out = {r["media_id"]: r for r in decode_media_features(media).collect()}
+        assert out["img1"]["ok"] == "ok"
+        assert out["img1"]["features"][:5] == [4.0, 4.0, 50.0, 50.0, 50.0]
+        assert out["aud1"]["ok"] == "ok"
+        assert out["aud1"]["features"][0] == pytest.approx(0.1)  # 800/8000 s
+        assert out["vid1"]["ok"] == "ok"
+        dur, fps, n, luma, motion = out["vid1"]["features"]
+        assert (dur, fps, n) == (2.0, 2.0, 4.0)
+        assert luma == pytest.approx(7.0) and motion == pytest.approx(0.0)
+        # compressed format: quarantined row, not a dead stage
+        assert out["bad1"]["ok"] == "error"
+        assert "image/png" in out["bad1"]["err"]
+        assert out["bad1"]["features"] is None
+
+        with pytest.raises(Exception, match="image/png"):
+            decode_media_features(media, strict=True).collect()
+
+    def test_frame_sample_execute_y4m(self, spark):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import encode_y4m
+        from datacapsule_spark.operators.multimodal import MEDIA, frame_sample_execute
+
+        # 6 frames @ 2fps (3s), luma ramp 0,20,40,...: sampling every
+        # 1000ms hits frames 0,2,4 → lumas 0,40,80, motion 40 per step
+        frames = np.stack([np.full((2, 2), 20 * i, dtype=np.uint8) for i in range(6)])
+        payload = encode_y4m(frames, fps=2)
+        rows = [("v1", "video", bytearray(payload), "video/x-yuv4mpeg", 2, 2, 3000)]
+        media = spark.createDataFrame(rows, MEDIA)
+        out = sorted(frame_sample_execute(media, every_ms=1000).collect(),
+                     key=lambda r: r["sample_ts_ms"])
+        assert [r["sample_ts_ms"] for r in out] == [0, 1000, 2000]
+        assert [r["mean_luma"] for r in out] == [0.0, 40.0, 80.0]
+        assert out[0]["motion"] is None
+        assert out[1]["motion"] == pytest.approx(40.0)
+        assert out[2]["motion"] == pytest.approx(40.0)
+
+    def test_resize_images_spark_passthrough(self, spark):
+        import numpy as np
+
+        from datacapsule_spark.operators.media_codecs import decode_ppm, encode_bmp
+        from datacapsule_spark.operators.multimodal import MEDIA, resize_images
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:4] = 200  # top half bright → survives 2x box downscale
+        rows = [
+            ("i1", "image", bytearray(encode_bmp(img)), "image/bmp", 8, 8, None),
+            ("a1", "audio", bytearray(b"not-an-image"), "audio/wav", None, None, 5),
+        ]
+        media = spark.createDataFrame(rows, MEDIA)
+        out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+        r = out["i1"]
+        assert (r["width"], r["height"], r["mime"]) == (4, 4, "image/x-portable-pixmap")
+        small = decode_ppm(bytes(r["payload"]))
+        assert np.all(small[:2] == 200) and np.all(small[2:] == 0)
+        # non-image rows pass through byte-identical
+        assert bytes(out["a1"]["payload"]) == b"not-an-image"
 
 
 class TestTraverse:
