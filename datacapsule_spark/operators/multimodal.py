@@ -174,17 +174,11 @@ def _spread_payloads(media: DataFrame, buckets: int = 64) -> DataFrame:
     )
 
 
-def decode_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """media (MEDIA schema) → DECODED_FEATURES via real per-family
-    decode (WAV/PPM/BMP/Y4M). Feature vectors are family-specific:
-    image → media_codecs.image_features (8), audio → audio_features
-    (5), video → _video_features (5).
-
-    strict=False (default): a row that fails to decode (compressed
-    format, corrupt bytes) yields ok="error" + err message + NULL
-    features instead of failing the stage — curation filters on `err`.
-    strict=True re-raises, for pipelines that must halt on bad media.
-    """
+def decode_features_kernel(strict: bool = False):
+    """The Arrow-batched decode kernel, shared verbatim by the batch
+    operator (decode_media_features) and its streaming twin
+    (streaming.stream_ops.streaming_decode_media_features) so the two
+    paths cannot drift."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,7 +204,23 @@ def decode_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     out["features"].append(None)
             yield pd.DataFrame(out)
 
-    return _spread_payloads(media).mapInPandas(gen, schema=DECODED_FEATURES)
+    return gen
+
+
+def decode_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """media (MEDIA schema) → DECODED_FEATURES via real per-family
+    decode (WAV/PPM/BMP/Y4M). Feature vectors are family-specific:
+    image → media_codecs.image_features (8), audio → audio_features
+    (5), video → _video_features (5).
+
+    strict=False (default): a row that fails to decode (compressed
+    format, corrupt bytes) yields ok="error" + err message + NULL
+    features instead of failing the stage — curation filters on `err`.
+    strict=True re-raises, for pipelines that must halt on bad media.
+    """
+    return _spread_payloads(media).mapInPandas(
+        decode_features_kernel(strict), schema=DECODED_FEATURES
+    )
 
 
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -224,3 +224,25 @@ def streaming_tokenize(
         docs_stream, merges, text_col=text_col, id_col=id_col,
         lowercase=lowercase,
     )
+
+
+def streaming_decode_media_features(
+    media_stream: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Stateless streaming twin of operators.multimodal
+    .decode_media_features: each arriving media row is decoded with the
+    SAME Arrow-batched kernel (decode_features_kernel is reused
+    verbatim, so the two paths cannot drift) — real WAV/PPM/BMP/Y4M
+    parsing, row-level error quarantine (ok/err columns) for payloads
+    the codecs can't read.
+
+    No watermark, no state store, and no skew-spread repartition: the
+    batch operator's payload-size spread is a throughput concern for
+    corpus-sized scans; a micro-batch is already bounded, and keeping
+    the stream plan shuffle-free means one bad or huge blob delays only
+    its own micro-batch task."""
+    from ..operators.multimodal import DECODED_FEATURES, decode_features_kernel
+
+    return media_stream.mapInPandas(
+        decode_features_kernel(strict), schema=DECODED_FEATURES
+    )

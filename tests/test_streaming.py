@@ -402,3 +402,108 @@ def test_streaming_tokenize_equals_batch(spark, tmp_path):
     assert any(
         len(s) > 1 and s != "</w>" for _, subs, _ in got for s in subs
     )
+
+
+def test_streaming_decode_media_features_equals_batch(spark, tmp_path):
+    """The multimodal decode twin produces row-identical decoded
+    features and quarantine verdicts to the batch operator on the same
+    media set (shared kernel — decode_features_kernel)."""
+    import numpy as np
+
+    from datacapsule_spark.operators.media_codecs import (
+        encode_ppm,
+        encode_wav_pcm16,
+        encode_y4m,
+    )
+    from datacapsule_spark.operators.multimodal import MEDIA, decode_media_features
+    from datacapsule_spark.streaming.stream_ops import (
+        streaming_decode_media_features,
+    )
+
+    rows = []
+    for i in range(6):
+        img = np.full((4, 4, 3), 40 * i, dtype=np.uint8)
+        rows.append(
+            (f"img{i}", "image", bytearray(encode_ppm(img)),
+             "image/x-portable-pixmap", 4, 4, None)
+        )
+    wav = encode_wav_pcm16(np.linspace(-0.5, 0.5, 400), 8000)
+    rows.append(("aud0", "audio", bytearray(wav), "audio/wav", None, None, 50))
+    vid = encode_y4m(np.full((3, 2, 2), 9, dtype=np.uint8), fps=3)
+    rows.append(("vid0", "video", bytearray(vid), "video/x-yuv4mpeg", 2, 2, 1000))
+    rows.append(("bad0", "image", bytearray(b"\x89PNG nope"), "image/png", 1, 1, None))
+
+    media = spark.createDataFrame(rows, MEDIA)
+    src = str(tmp_path / "media_in")
+    media.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(MEDIA).parquet(src)
+    q = (
+        streaming_decode_media_features(stream)
+        .writeStream.format("memory")
+        .queryName("media_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(r):
+        feats = tuple(round(v, 9) for v in r["features"]) if r["features"] else None
+        return (r["media_id"], r["ok"], r["payload_bytes"], feats)
+
+    got = {key(r) for r in spark.sql("select * from media_mem").collect()}
+    want = {key(r) for r in decode_media_features(spark.read.parquet(src)).collect()}
+    assert got == want and len(got) == 9
+    assert sum(1 for k in got if k[1] == "error") == 1  # the PNG quarantined
+
+
+def test_decode_media_fuzz_never_escapes_quarantine(spark):
+    """Corrupt payloads (random byte flips / truncations of valid
+    WAV/PPM/BMP/Y4M bytes) must either decode or raise an ordinary
+    exception the quarantine catches — a poisoned corpus degrades to
+    err-rows, never a dead stage. 120 mutants through the distributed
+    operator: row count preserved, every row verdicted."""
+    import numpy as np
+
+    from datacapsule_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav_pcm16,
+        encode_y4m,
+    )
+    from datacapsule_spark.operators.multimodal import MEDIA, decode_media_features
+
+    rng = np.random.default_rng(42)
+    base = [
+        ("image/x-portable-pixmap", encode_ppm(
+            rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))),
+        ("image/bmp", encode_bmp(
+            rng.integers(0, 256, (4, 7, 3), dtype=np.uint8))),
+        ("audio/wav", encode_wav_pcm16(rng.uniform(-1, 1, 300), 8000)),
+        ("video/x-yuv4mpeg", encode_y4m(
+            rng.integers(0, 256, (4, 4, 4), dtype=np.uint8), fps=2)),
+    ]
+    rows = []
+    for i in range(120):
+        mime, payload = base[i % 4]
+        raw = bytearray(payload)
+        mode = i % 3
+        if mode == 0:  # flip 1-4 bytes anywhere (headers included)
+            for _ in range(rng.integers(1, 5)):
+                raw[rng.integers(0, len(raw))] = rng.integers(0, 256)
+        elif mode == 1:  # truncate
+            raw = raw[: rng.integers(0, len(raw))]
+        else:  # prepend garbage
+            raw = bytearray(rng.integers(0, 256, 7, dtype=np.uint8).tobytes()) + raw
+        rows.append((f"m{i}", "fuzz", raw, mime, None, None, None))
+
+    media = spark.createDataFrame(rows, MEDIA)
+    out = decode_media_features(media).collect()
+    assert len(out) == 120
+    for r in out:
+        assert r["ok"] in ("ok", "error")
+        if r["ok"] == "error":
+            assert r["err"] and r["features"] is None
+        else:
+            assert r["features"] is not None
