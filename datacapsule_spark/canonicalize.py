@@ -58,12 +58,17 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if driver_threshold > 0:
+        # materialize BEFORE the emptiness probe: isEmpty() executes the
+        # full upstream lineage (e.g. near_dedup's minhash→band→jaccard
+        # chain), so probing first and checkpointing after ran that
+        # lineage twice per CC call
+        e = e.localCheckpoint(eager=True)
     if e.isEmpty():
         return spark.createDataFrame([], "node_id string, canonical_id string")
 
     if driver_threshold > 0:
-        # cheap gate: materialize once, count; reused by either path
-        e = e.localCheckpoint(eager=True)
+        # cheap gate on the materialized edges; reused by either path
         if e.count() <= driver_threshold:
             return _driver_union_find(spark, e)
 

@@ -285,22 +285,68 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard re-score of candidate pairs(a, b) —
-    array_intersect/array_union, no UDF."""
-    sh = (
-        with_shingles(docs, text_col, shingle_n, id_col=id_col)
-        .select(F.col(id_col).alias("doc_id"), F.col("grams").alias("sh"))
-        .localCheckpoint(eager=False)  # consumed by both join sides
+    """Exact word-n-gram Jaccard re-score of candidate pairs(a, b) in
+    ROW form — distinct shingle rows, a pair×gram join for |A∩B|, and
+    per-doc gram counts for |A∪B| = |A|+|B|−|A∩B|. No UDF, no arrays.
+
+    Two scale properties the previous array form
+    (with_shingles → array_intersect/array_union) lacked:
+
+    - only docs that APPEAR in pairs are shingled (left-semi on the
+      pair id set): candidates are orders of magnitude fewer than the
+      corpus, and the corpus-wide with_shingles was the dominant cost
+      of the pipeline's near-dedup stage (5.5s of a 12.7s warm
+      near_dedup on the 50k-file bench corpus for 16.6k pairs);
+    - no per-doc gram ARRAY is ever built: a long document is spread
+      across shingle rows instead of one collect_set row, so there is
+      no hot-row memory spike and the joins stay in whole-stage
+      codegen (measured 7.1s → 1.9s for the gate on the bench corpus).
+
+    Callers should materialize `pairs` first (near_dedup does) — it is
+    consumed multiple times below. Semantics match the array form
+    exactly: jaccard = |A∩B| / (|A|+|B|−|A∩B|) over DISTINCT grams;
+    docs with < shingle_n tokens have empty gram sets, making the
+    denominator 0 for empty∧empty pairs (NULL jaccard → dropped, as
+    0/0 was in the array form) and jaccard 0 for empty∧non-empty."""
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    gsh = shingle_rows(
+        docs.join(cand_ids, id_col, "left_semi"),
+        text_col, id_col, shingle_n, distinct=True,
+    ).localCheckpoint(eager=False)  # consumed by sizes + both join sides
+    sizes = gsh.groupBy("doc_id").count()
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("count").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("count").alias("nb"))
+    # distinct probe side: duplicate (a, b) input rows must not double-
+    # count grams (minhash_lsh_pairs already distincts; arbitrary
+    # callers may not) — each input row still gets its score via the
+    # final left join.
+    # shuffle_hash hints: gsh comes off a localCheckpoint (ExistingRDD,
+    # no stats), so Catalyst's size guess otherwise BROADCASTS the
+    # multi-million-row gram table on both joins (measured: two ~200MB
+    # driver-built hash relations, 15s for a join whose shuffle form is
+    # ~2s; at scale the gram table never fits a broadcast). Hash join,
+    # not sort-merge — the (b, g) string sort is pure waste before a
+    # hash aggregate.
+    inter = (
+        pairs.select("a", "b").distinct()
+        .join(gsh.select(F.col("doc_id").alias("a"), "g").hint("shuffle_hash"), "a")
+        .join(gsh.select(F.col("doc_id").alias("b"), "g").hint("shuffle_hash"), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
     return (
-        pairs.join(a, "a")
-        .join(b, "b")
+        pairs.join(na, "a", "left")
+        .join(nb, "b", "left")
+        .join(inter, ["a", "b"], "left")
+        .withColumn("ni", F.coalesce("ni", F.lit(0)))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
+            F.col("ni")
+            / (F.coalesce("na", F.lit(0)) + F.coalesce("nb", F.lit(0)) - F.col("ni")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -348,7 +394,9 @@ def near_dedup(
         n_bands,
         rows_per_band,
         hash_fn,
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers in the gate below; the
+    # band self-join must not re-run per consumer (on a cluster this is
+    # a persist(DISK) / checkpoint — same intent: cut the lineage)
     if min_jaccard is not None:
         pairs = ngram_jaccard_pairs(
             docs, pairs, text_col, id_col, shingle_n, min_jaccard

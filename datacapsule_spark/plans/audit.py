@@ -28,6 +28,7 @@ class PlanReport:
     read_schemas: list[str] = field(default_factory=list)
     broadcast_joins: int = 0
     sort_merge_joins: int = 0
+    shuffled_hash_joins: int = 0
     cartesian_products: int = 0
     nested_loop_joins: int = 0
     take_ordered: int = 0
@@ -60,6 +61,7 @@ def explain_report(df: DataFrame) -> PlanReport:
         read_schemas=re.findall(r"ReadSchema: struct<(.*?)>", text),
         broadcast_joins=nodes("BroadcastHashJoin"),
         sort_merge_joins=nodes("SortMergeJoin"),
+        shuffled_hash_joins=nodes("ShuffledHashJoin"),
         cartesian_products=nodes("CartesianProduct"),
         nested_loop_joins=nodes("BroadcastNestedLoopJoin"),
         take_ordered=nodes("TakeOrderedAndProject"),

@@ -129,6 +129,28 @@ def test_embedding_dedup_default_no_nested_loop(spark):
     assert r2.nested_loop_joins + r2.cartesian_products >= 1, r2.text
 
 
+def test_jaccard_gate_never_broadcasts_gram_table(spark):
+    """ngram_jaccard_pairs' intersection joins must be SHUFFLED hash
+    joins: the gram table comes off a localCheckpoint (no stats), and
+    Catalyst's fallback size guess used to BROADCAST the multi-million-
+    row gram table on both joins (two ~200MB driver-built hash
+    relations, 15s for a join whose shuffle form is ~2s at 50k files;
+    unbounded at scale). The only broadcastable inputs here are the
+    pair-derived sides."""
+    from datacapsule_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(minhash_signatures(d))
+    r = explain_report(ngram_jaccard_pairs(d, pairs, threshold=0.5))
+    assert r.shuffled_hash_joins >= 2, r.text
+    assert r.cartesian_products == 0, r.text
+    assert r.nested_loop_joins == 0, r.text
+
+
 def test_minhash_signature_single_shuffle(spark):
     """shingle→signature must run on ONE shuffle: the window partitions
     by doc_id and the min-aggregate is duplicate-invariant, so neither a
