@@ -79,7 +79,9 @@ def connected_components(
         mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
         mins = mins.withColumn("m", F.least("m", "u"))
         large = (
-            nbrs.join(mins, "u")
+            # shuffle_hash: 2|E| × node-scale, both stats-less — the
+            # no-stats fallback otherwise broadcasts a side (OOM at scale)
+            nbrs.join(mins.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -92,7 +94,7 @@ def connected_components(
         )
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            oriented.join(mins2, "u")
+            oriented.join(mins2.hint("shuffle_hash"), "u")
             .select(
                 F.when(F.col("v") == F.col("m"), F.col("u"))
                 .otherwise(F.col("v"))

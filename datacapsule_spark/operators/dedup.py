@@ -173,8 +173,12 @@ def minhash_lsh_pairs(
             F.array(*[band_hash(b) for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
     ).localCheckpoint(eager=False)
+    # shuffle_hash: bands is corpus-scale (|docs| × n_bands rows) and
+    # comes off a localCheckpoint with no stats — Catalyst's fallback
+    # guess otherwise BROADCASTS a whole side of the self-join (driver
+    # OOM at scale). The shuffle key below is the point of banding.
     left = bands.alias("l")
-    right = bands.alias("r")
+    right = bands.hint("shuffle_hash").alias("r")
     return (
         left.join(
             right,
@@ -221,8 +225,12 @@ def minhash_lsh_pairs_cross(
             ).alias("band_idx", "band_hash"),
         )
 
+    # shuffle_hash: neither corpus is stats-known here and either can be
+    # huge (train side always is) — never leave the build side to
+    # Catalyst's no-stats broadcast guess. AQE may still downgrade the
+    # exchange reader when the eval side turns out tiny at runtime.
     left = band_rows(signatures_a).alias("l")
-    right = band_rows(signatures_b).alias("r")
+    right = band_rows(signatures_b).hint("shuffle_hash").alias("r")
     return (
         left.join(
             right,
@@ -255,26 +263,19 @@ def cross_corpus_near_pairs(
     only where a band collides across the corpora."""
     sa = minhash_signatures(docs_a, text_col, id_col, n_hashes, shingle_n, hash_fn)
     sb = minhash_signatures(docs_b, text_col, id_col, n_hashes, shingle_n, hash_fn)
-    cand = minhash_lsh_pairs_cross(sa, sb, n_bands, rows_per_band, hash_fn)
-    gr_a = (
-        with_shingles(docs_a, text_col, shingle_n, id_col=id_col)
-        .select(F.col(id_col).alias("a"), F.col("grams").alias("sha"))
+    cand = minhash_lsh_pairs_cross(sa, sb, n_bands, rows_per_band, hash_fn).localCheckpoint(
+        eager=False
     )
-    gr_b = (
-        with_shingles(docs_b, text_col, shingle_n, id_col=id_col)
-        .select(F.col(id_col).alias("b"), F.col("grams").alias("shb"))
+    # re-score via the shared row-form gate over the UNION of the two
+    # corpora (id domains are disjoint by caller contract, so pair ids
+    # resolve unambiguously): only docs appearing in candidates are
+    # shingled — previously BOTH corpora were fully shingled into
+    # per-doc arrays and Catalyst broadcast the corpus-scale gram
+    # tables (4 BroadcastHashJoins, driver OOM at scale).
+    both = docs_a.select(F.col(id_col), F.col(text_col)).unionByName(
+        docs_b.select(F.col(id_col), F.col(text_col))
     )
-    return (
-        cand.join(gr_a, "a")
-        .join(gr_b, "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
-        .select("a", "b", "jaccard")
-    )
+    return ngram_jaccard_pairs(both, cand, text_col, id_col, shingle_n, min_jaccard)
 
 
 def ngram_jaccard_pairs(
@@ -338,10 +339,12 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("ni"))
     )
+    # assembly joins are pair-/candidate-scale on every side — also
+    # unbounded, so keep them off the broadcast path too
     return (
-        pairs.join(na, "a", "left")
-        .join(nb, "b", "left")
-        .join(inter, ["a", "b"], "left")
+        pairs.join(na.hint("shuffle_hash"), "a", "left")
+        .join(nb.hint("shuffle_hash"), "b", "left")
+        .join(inter.hint("shuffle_hash"), ["a", "b"], "left")
         .withColumn("ni", F.coalesce("ni", F.lit(0)))
         .withColumn(
             "jaccard",
@@ -480,9 +483,15 @@ def containment_pairs(
     sh = shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
     )  # consumed by the df agg, the argmin, and the probe side
+    # shuffle_hash hints throughout: every side here is unbounded (sh =
+    # corpus-scale shingle rows off a stats-less localCheckpoint, gdf =
+    # the gram vocabulary, txt below = full normalized document text) —
+    # Catalyst's no-stats fallback otherwise broadcasts one of them
+    # (observed: 4 BroadcastHashJoins in this plan at sf0.001), which is
+    # a driver OOM at scale.
     gdf = sh.groupBy("g").agg(F.count("*").alias("gdf"))  # sh distinct per doc
     rarest = (
-        sh.join(gdf, "g")
+        sh.join(gdf.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(F.min(F.struct("gdf", "g")).alias("_m"))  # lexicographic argmin
         .select("doc_id", F.col("_m.g").alias("g"), F.col("_m.gdf").alias("gdf"))
@@ -508,7 +517,7 @@ def containment_pairs(
     cand = (
         rarest.alias("l")
         .join(
-            sh.alias("r"),
+            sh.hint("shuffle_hash").alias("r"),
             (F.col("l.g") == F.col("r.g"))
             & (F.col("l.doc_id") != F.col("r.doc_id")),
         )
@@ -531,8 +540,8 @@ def containment_pairs(
     a = txt.select(F.col("_id").alias("inner_id"), F.col("_lt").alias("_ta"))
     b = txt.select(F.col("_id").alias("outer_id"), F.col("_lt").alias("_tb"))
     pairs = (
-        cand.join(a, "inner_id")
-        .join(b, "outer_id")
+        cand.join(a.hint("shuffle_hash"), "inner_id")
+        .join(b.hint("shuffle_hash"), "outer_id")
         .where(
             F.col("_tb").contains(F.col("_ta"))
             & (
@@ -623,10 +632,13 @@ def simhash_pairs(
             )
         ).alias("blk", "val"),
     )
+    # shuffle_hash: blocks is corpus-scale (n_blocks rows/doc) — without
+    # stats Catalyst broadcasts a side of the self-join (driver OOM at
+    # scale); the (blk, val) shuffle IS the blocking scheme
     cand = (
         blocks.alias("l")
         .join(
-            blocks.alias("r"),
+            blocks.hint("shuffle_hash").alias("r"),
             (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l._id") < F.col("r._id")),
@@ -745,10 +757,14 @@ def embedding_cosine_pairs(
                 F.array(*[F.col(f"_bkt_{t}") for t in range(n_tables)])
             ).alias("tbl", "bucket"),
         ).localCheckpoint(eager=False)  # consumed by both join sides
+        # shuffle_hash: buckets and the vector fetches are corpus-scale
+        # sides off stats-less checkpoints/scans — Catalyst's no-stats
+        # guess otherwise broadcasts them (the vector table doubly so:
+        # wide embedding rows in a driver hash relation)
         pair_ids = (
             buckets.alias("l")
             .join(
-                buckets.alias("r"),
+                buckets.hint("shuffle_hash").alias("r"),
                 (F.col("l.tbl") == F.col("r.tbl"))
                 & (F.col("l.bucket") == F.col("r.bucket"))
                 & (F.col("l.doc") < F.col("r.doc")),
@@ -756,7 +772,9 @@ def embedding_cosine_pairs(
             .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
             .distinct()
         )
-        cand = pair_ids.join(a, "a").join(b, "b")
+        cand = pair_ids.join(a.hint("shuffle_hash"), "a").join(
+            b.hint("shuffle_hash"), "b"
+        )
 
     if kernel == "auto":
         from ..vectorize import AUTO_KERNEL_DIM

@@ -48,7 +48,7 @@ def funnel_counts(
             cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
         else:
             cur = (
-                ev.join(frontier, "_u")
+                ev.join(frontier.hint("shuffle_hash"), "_u")  # user-scale, stats-less
                 .where(F.col("_ts") > F.col("_t"))
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_t"))
@@ -93,7 +93,7 @@ def funnel_user_depths(
             cur = ev.groupBy("_u").agg(F.min("_ts").alias(f"_t{i}"))
         else:
             cur = (
-                ev.join(frontier, "_u")
+                ev.join(frontier.hint("shuffle_hash"), "_u")  # user-scale, stats-less
                 .where(F.col("_ts") > F.col(f"_t{i - 1}"))
                 .groupBy("_u")
                 .agg(F.min("_ts").alias(f"_t{i}"))
@@ -102,7 +102,7 @@ def funnel_user_depths(
         frontiers.append(frontier)
     out = frontiers[0]
     for i in range(1, len(steps)):
-        out = out.join(frontiers[i], "_u", "left")
+        out = out.join(frontiers[i].hint("shuffle_hash"), "_u", "left")
     depth = None
     reached = None
     for i in reversed(range(len(steps))):

@@ -44,9 +44,13 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # shuffle_hash hints here and below: every side is edge- or
+    # node-scale off stats-less checkpoints/aggregates — Catalyst's
+    # no-stats fallback otherwise BROADCASTS one (driver OOM on a
+    # billion-edge graph); observed BroadcastHashJoins at sf0.001
     oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
+        und.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -56,11 +60,11 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(
-        e2,
+        e2.hint("shuffle_hash"),
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
     ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
     closed = wedges.join(
-        und,
+        und.hint("shuffle_hash"),
         (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
     )
     return closed.groupBy().agg(F.count("*").alias("n_triangles"))
@@ -110,8 +114,14 @@ def k_core(
         )
         keep = deg.where(F.col("d") >= k).select("node")
         e2 = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            e.join(
+                keep.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u", "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "v").hint("shuffle_hash"),
+                "v", "left_semi",
+            )
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
@@ -158,28 +168,32 @@ def pagerank(
     n = nodes.count()
     outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
     # (s, t, od) reused every round
-    links = e.join(outdeg, "s").localCheckpoint(eager=True)
+    links = e.join(outdeg.hint("shuffle_hash"), "s").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
     )
     has_out = links.select(F.col("s").alias("node")).distinct()
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
+    dangling_nodes = nodes.join(
+        has_out.hint("shuffle_hash"), "node", "left_anti"
+    ).localCheckpoint(
         eager=True
     )
     for _ in range(max_iter):
         dm = (
-            ranks.join(dangling_nodes, "node")
+            ranks.join(dangling_nodes.hint("shuffle_hash"), "node")
             .groupBy()
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
-            links.join(ranks, links.s == ranks.node)
+            # shuffle_hash: links is edge-scale, ranks node-scale, both
+            # stats-less checkpoints — no-stats broadcast = driver OOM
+            links.join(ranks.hint("shuffle_hash"), links.s == ranks.node)
             .select(F.col("t").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(dm))  # 1-row aggregate, stays in-plan
             .select(
                 "node",
@@ -234,7 +248,10 @@ def label_propagation(
 
     w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(max_iter):
-        votes = und.join(labels, und.v == labels.node).select("u", "label")
+        # shuffle_hash: edge-scale × node-scale, both stats-less
+        votes = und.join(
+            labels.hint("shuffle_hash"), und.v == labels.node
+        ).select("u", "label")
         labels = (
             votes.groupBy("u", "label")
             .agg(F.count("*").alias("c"))
@@ -302,9 +319,11 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
-    links = e.join(outdeg, "s").localCheckpoint(eager=True)
+    links = e.join(outdeg.hint("shuffle_hash"), "s").localCheckpoint(eager=True)
     has_out = links.select(F.col("s").alias("node")).distinct()
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
+    dangling_nodes = nodes.join(
+        has_out.hint("shuffle_hash"), "node", "left_anti"
+    ).localCheckpoint(
         eager=True
     )
     ranks = base.select("node", F.col("p").alias("rank")).localCheckpoint(
@@ -312,12 +331,14 @@ def personalized_pagerank(
     )
     for _ in range(max_iter):
         dm = (
-            ranks.join(dangling_nodes, "node")
+            ranks.join(dangling_nodes.hint("shuffle_hash"), "node")
             .groupBy()
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
-            links.join(ranks, links.s == ranks.node)
+            # shuffle_hash: links is edge-scale, ranks node-scale, both
+            # stats-less checkpoints — no-stats broadcast = driver OOM
+            links.join(ranks.hint("shuffle_hash"), links.s == ranks.node)
             .select(
                 F.col("t").alias("node"), (F.col("rank") / F.col("od")).alias("c")
             )
@@ -325,7 +346,7 @@ def personalized_pagerank(
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            base.join(contribs, "node", "left")
+            base.join(contribs.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(dm))  # 1-row aggregate, stays in-plan
             .select(
                 "node",
@@ -392,7 +413,10 @@ def link_prediction(
     zdeg = deg.select(F.col("n").alias("z"), F.col("d").alias("dz"))
     if max_neighbor_degree is not None:
         zdeg = zdeg.where(F.col("dz") <= max_neighbor_degree)
-    nbz = nbrs.join(zdeg, "z")
+    # shuffle_hash hints: nbrs is 2|E| rows, zdeg/deg node-scale, the
+    # wedge self-join quadratic in hub degree — all unbounded,
+    # stats-less sides (no-stats broadcast = driver OOM at scale)
+    nbz = nbrs.join(zdeg.hint("shuffle_hash"), "z")
     if max_neighbor_degree is not None:
         # jaccard denominators must use the SAME capped neighbor sets
         # the intersection counts — recount degrees post-cap
@@ -401,7 +425,7 @@ def link_prediction(
     n2 = nbz.alias("n2")
     scored = (
         n1.join(
-            n2,
+            n2.hint("shuffle_hash"),
             (F.col("n1.z") == F.col("n2.z"))
             & (F.col("n1.n") < F.col("n2.n")),
         )
@@ -418,15 +442,15 @@ def link_prediction(
     )
     if exclude_existing:
         scored = scored.join(
-            und,
+            und.hint("shuffle_hash"),
             (scored.a == und.u) & (scored.b == und.v),
             "left_anti",
         )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     return (
-        scored.join(da, "a")
-        .join(db, "b")
+        scored.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
         .select(
             "a",
             "b",
@@ -501,10 +525,10 @@ def shortest_paths(
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(adj, frontier.node == adj.u)
+            frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(dist.hint("shuffle_hash"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
@@ -551,7 +575,7 @@ def random_walks(
     w = Window.partitionBy("walk_id").orderBy("h", "v")
     for step in range(1, walk_len + 1):
         nxt = (
-            cur.join(adj, cur.node == adj.u)
+            cur.join(adj.hint("shuffle_hash"), cur.node == adj.u)
             .withColumn(
                 "h",
                 F.md5(
@@ -610,10 +634,10 @@ def multi_source_distances(
     frontier = dist.select("source", "node")
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(adj, frontier.node == adj.u)
+            frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .select("source", F.col("v").alias("node"))
             .distinct()
-            .join(dist, ["source", "node"], "left_anti")
+            .join(dist.hint("shuffle_hash"), ["source", "node"], "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
@@ -663,7 +687,7 @@ def closeness_centrality(
         bfs_from = (
             nodes_subset.select(F.col(scol).alias("n"))
             .distinct()
-            .join(nodes, "n", "left_semi")
+            .join(nodes.hint("shuffle_hash"), "n", "left_semi")
         )
     else:
         bfs_from = nodes
@@ -742,7 +766,7 @@ def hits(
 
     def push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
         raw = (
-            e.join(scores, e[key_in] == scores.node)
+            e.join(scores.hint("shuffle_hash"), e[key_in] == scores.node)
             .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("x").alias("raw"))
         )
@@ -750,7 +774,7 @@ def hits(
             F.coalesce(F.sum("raw"), F.lit(0.0)).alias("_tot")
         )
         return (
-            nodes.join(raw, "node", "left")
+            nodes.join(raw.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
                 "node",
@@ -769,7 +793,10 @@ def hits(
         h = push(a, "t", "s").localCheckpoint(eager=True)  # hubs
     return (
         h.select("node", F.col("x").alias("hub"))
-        .join(a.select("node", F.col("x").alias("authority")), "node")
+        .join(
+            a.select("node", F.col("x").alias("authority")).hint("shuffle_hash"),
+            "node",
+        )
     )
 
 
@@ -804,10 +831,10 @@ def shortest_path_counts(
     frontier = state
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(adj, frontier.node == adj.u)
+            frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .groupBy("source", F.col("v").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["source", "node"], "left_anti")
+            .join(visited.hint("shuffle_hash"), ["source", "node"], "left_anti")
             .withColumn("dist", F.lit(hop))
             .select("source", "node", "dist", "sigma")
             .localCheckpoint(eager=True)
@@ -913,8 +940,8 @@ def betweenness_centrality(
             F.col("sigma").alias("sig_st"),
         )
         dep = (
-            a.join(b, "v")
-            .join(c, ["s", "t"])
+            a.join(b.hint("shuffle_hash"), "v")
+            .join(c.hint("shuffle_hash"), ["s", "t"])
             .where(
                 (F.col("s") != F.col("v"))
                 & (F.col("t") != F.col("v"))
@@ -929,7 +956,7 @@ def betweenness_centrality(
             )
         )
     return nodes.join(
-        dep, nodes.n == dep.v, "left"
+        dep.hint("shuffle_hash"), nodes.n == dep.v, "left"
     ).select(
         F.col("n").alias("node"),
         (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness"),
@@ -968,7 +995,7 @@ def _brandes_dependencies(
             F.col("delta").alias("delta_w"),
         )
         preds = (
-            frontier.join(adj, frontier.w == adj.v)
+            frontier.join(adj.hint("shuffle_hash"), frontier.w == adj.v)
             .select(
                 "source",
                 F.col("u").alias("node"),
@@ -982,7 +1009,7 @@ def _brandes_dependencies(
         # only true SP-DAG predecessors (dist = d-1) absorb the
         # contribution; sigma_v multiplies back in at the merge
         delta = (
-            delta.join(preds, ["source", "node"], "left")
+            delta.join(preds.hint("shuffle_hash"), ["source", "node"], "left")
             .select(
                 "source",
                 "node",
@@ -1038,9 +1065,10 @@ def local_clustering(
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # shuffle_hash: same no-stats broadcast hazard as triangle_count
     oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
+        und.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -1051,7 +1079,7 @@ def local_clustering(
     e2 = oriented.alias("e2")
     tri = (
         e1.join(
-            e2,
+            e2.hint("shuffle_hash"),
             (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
         )
         .select(
@@ -1060,7 +1088,7 @@ def local_clustering(
             F.col("e2.t").alias("c2"),
         )
         .join(
-            und,
+            und.hint("shuffle_hash"),
             (F.least("c1", "c2") == F.col("u"))
             & (F.greatest("c1", "c2") == F.col("v")),
         )
@@ -1068,7 +1096,7 @@ def local_clustering(
         .groupBy("n")
         .agg(F.count("*").alias("triangles"))
     )
-    return deg.join(tri, "n", "left").select(
+    return deg.join(tri.hint("shuffle_hash"), "n", "left").select(
         F.col("n").alias("node"),
         F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
         F.when(
@@ -1111,14 +1139,14 @@ def weighted_shortest_paths(
     frontier = dist
     for _ in range(max_hops):
         cand = (
-            frontier.join(adj, frontier.node == adj.u)
+            frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
         old = dist.select("node", F.col("dist").alias("_old"))
         improved = (
-            cand.join(old, "node", "left")
+            cand.join(old.hint("shuffle_hash"), "node", "left")
             .where(F.col("_old").isNull() | (F.col("d") < F.col("_old")))
             .select("node", F.col("d").alias("dist"))
             .localCheckpoint(eager=True)

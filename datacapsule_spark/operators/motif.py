@@ -106,7 +106,7 @@ def _bounded_reach(
             F.col("_ra").alias("_rb"), F.col("_rb").alias("_rc")
         )
         cur = (
-            cur.join(step, "_rb")
+            cur.join(step.hint("shuffle_hash"), "_rb")  # both path-scale
             .select(F.col("_ra"), F.col("_rc").alias("_rb"))
             .distinct()
             .localCheckpoint(eager=False)

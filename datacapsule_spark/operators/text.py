@@ -249,9 +249,11 @@ def lm_score(
     lp = F.log(
         (F.col("c_bg") + 1) / (F.col("c_ctx") + F.lit(float(v)))
     )
+    # shuffle_hash: bg is corpus-scale, the count tables vocabulary-
+    # scale — all stats-less; no-stats broadcast would OOM at scale
     return (
-        bg.join(bg_counts, "g")
-        .join(ctx_counts, "w1")
+        bg.join(bg_counts.hint("shuffle_hash"), "g")
+        .join(ctx_counts.hint("shuffle_hash"), "w1")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -520,7 +520,10 @@ def dedup_ngram_jaccard_docs(spark, sf_dir):
         F.col("doc_id").alias("b"), F.col("source").alias("src_b"), F.col("sh").alias("shb")
     )
     return (
-        a.join(b, (F.col("a") < F.col("b")) & (F.col("src_a") == F.col("src_b")))
+        a.join(
+            b.hint("shuffle_hash"),  # both sides corpus-scale, stats-less
+            (F.col("a") < F.col("b")) & (F.col("src_a") == F.col("src_b")),
+        )
         .withColumn(
             "jaccard",
             F.round(

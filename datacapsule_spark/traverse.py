@@ -126,7 +126,9 @@ def find_nodes_by_node_type(
         # re-ascending into a different subtree; the per-hop rule stops
         # down-then-up wandering inside the allowed range.
         expanded = (
-            frontier.join(bedges, frontier.node_id == bedges.from_id)
+            frontier.join(
+                bedges.hint("shuffle_hash"), frontier.node_id == bedges.from_id
+            )
             .select(
                 "query_id",
                 F.col("to_id").alias("node_id"),

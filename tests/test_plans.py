@@ -175,7 +175,10 @@ def test_simhash_pairs_banded_join_no_cartesian(spark):
     r = explain_report(simhash_pairs(fps, max_hamming=3))
     assert r.cartesian_products == 0, r.text
     assert r.nested_loop_joins == 0, r.text
-    assert r.sort_merge_joins + r.broadcast_joins >= 1, r.text
+    # the banded self-join must be the SHUFFLED hash join: both sides
+    # are corpus-scale, so the old no-stats broadcast was an OOM at
+    # scale (r06 broadcast-hazard sweep)
+    assert r.shuffled_hash_joins >= 1, r.text
 
 
 def test_motif_connected_pattern_no_cartesian(spark):
