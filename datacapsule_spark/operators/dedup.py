@@ -347,10 +347,13 @@ def ngram_jaccard_pairs(
         .join(inter.hint("shuffle_hash"), ["a", "b"], "left")
         .withColumn("ni", F.coalesce("ni", F.lit(0)))
         .withColumn(
-            "jaccard",
-            F.col("ni")
-            / (F.coalesce("na", F.lit(0)) + F.coalesce("nb", F.lit(0)) - F.col("ni")),
+            "_union",
+            F.coalesce("na", F.lit(0)) + F.coalesce("nb", F.lit(0)) - F.col("ni"),
         )
+        # try_divide: an empty∧empty pair has union 0 → NULL jaccard →
+        # dropped by the threshold (Spark 4 ANSI mode THROWS on the
+        # bare division; caught by the brute-force pytest)
+        .withColumn("jaccard", F.try_divide("ni", "_union"))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

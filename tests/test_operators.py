@@ -126,6 +126,54 @@ class TestDedup:
         assert out[(0, 1)] == pytest.approx(len(sa & sb) / len(sa | sb))
         assert out[(0, 3)] == 0.0
 
+    def test_ngram_jaccard_rowform_brute_force(self, spark):
+        """The r06 row-form gate (|A∩B| pair×gram join, |A∪B| =
+        |A|+|B|−|A∩B|) against a brute-force python oracle on the edge
+        cases the rewrite had to preserve: docs with < n tokens (empty
+        gram set), empty∧empty pairs (NULL jaccard → dropped, the old
+        array form's 0/0), empty∧non-empty (jaccard 0), duplicate
+        (a, b) input rows (each row scored once, no double-count)."""
+        import random
+
+        from datacapsule_spark.operators.dedup import ngram_jaccard_pairs
+
+        rng = random.Random(7)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        all_pairs = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+        pairs_rows = all_pairs + all_pairs[:30]  # 30 duplicate rows
+        pairs = spark.createDataFrame(pairs_rows, "a long, b long")
+
+        def grams(t):
+            toks = t.split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        g = {i: grams(t) for i, t in rows}
+        want = {}
+        for a, b in all_pairs:
+            uni = len(g[a] | g[b])
+            if uni == 0:
+                continue  # 0/0 → NULL → dropped
+            j = len(g[a] & g[b]) / uni
+            if j >= 0.1:
+                want[(a, b)] = j
+        got = {}
+        counts = {}
+        for r in ngram_jaccard_pairs(docs, pairs, threshold=0.1).collect():
+            got[(r["a"], r["b"])] = r["jaccard"]
+            counts[(r["a"], r["b"])] = counts.get((r["a"], r["b"]), 0) + 1
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+        # duplicated input rows come back once per input row, same score
+        for a, b in all_pairs[:30]:
+            if (a, b) in want:
+                assert counts[(a, b)] == 2, (a, b)
+
     def test_simhash_dup_equal_and_near(self, spark, docs):
         from datacapsule_spark.operators.dedup import simhash64
 
