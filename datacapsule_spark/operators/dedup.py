@@ -128,13 +128,22 @@ def minhash_signatures(
         def h(i):
             return F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))
     elif hash_fn == "xxhash64":
+        # hash the GRAM once to 8 bytes, then derive the n_hashes family
+        # from (i, g64): each per-index hash works on a fixed-width
+        # bigint instead of re-hashing the ~25-char gram string — the
+        # per-row hash cost drops n_hashes-fold on the string part
+        # (fresh-JVM A/B'd on the neardedup tier; the earlier affine-
+        # family revert replaced the HASH with arithmetic — this keeps
+        # a full xxhash64 per index, only narrowing its input)
         def h(i):
-            return F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("g")))
+            return F.xxhash64(F.lit(i), F.col("_g64"))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     # shingle rows + hash-aggregate: min-per-hash runs in whole-stage
     # codegen (nested transform() closures drop to interpreted eval)
     exploded = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
+    if hash_fn == "xxhash64":
+        exploded = exploded.withColumn("_g64", F.xxhash64("g"))
     mins = exploded.groupBy("doc_id").agg(  # min is duplicate-invariant
         *[F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
