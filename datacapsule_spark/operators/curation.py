@@ -662,3 +662,132 @@ def assign_splits(
     last = F.lit(splits[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-ngrams features (doc_id, b, cnt): word unigrams +
+    bigrams from the shared tokenizer (shingle_rows — ONE tokenizer for
+    the whole dedup/curation family), bucketed by the first 32 bits of
+    md5(gram) mod n_buckets (the cross-engine hash contract).
+
+    Scale shape: the unigram pass is shuffle-free (posexplode on the
+    scan partitions), the bigram pass pays shingle_rows' one window
+    shuffle, and the count aggregation ships (doc_id, b, partial cnt)
+    rows only — the text never re-shuffles. Occurrence COUNTS, not
+    distinct grams: the DSIR feature is a bag, not a set."""
+    uni = shingle_rows(docs, text_col, id_col, n=1, distinct=False)
+    bi = shingle_rows(docs, text_col, id_col, n=2, distinct=False)
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    return (
+        uni.unionByName(bi)
+        .where(F.col("g") != "")
+        .select("doc_id", b.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance-resample ``k`` docs from the raw corpus toward a target
+    domain, using hashed-ngram bag features under bag-of-words models.
+
+    Per doc: log w(x) = sum_b cnt_b(x) * [ln p̂(b) − ln q̂(b)], with
+    p̂ fit on ``target``, q̂ on ``docs`` (Laplace ``smoothing`` over
+    ``n_buckets``). Selection is Gumbel top-k — equivalent to sampling
+    k docs without replacement with probability ∝ w(x) — with the
+    Gumbel noise derived from md5(seed||id) instead of rand(), so the
+    draw is reproducible across runs AND engines (the module's
+    deterministic-sampling contract, same as sample_by_hash).
+
+    Scale shape: both corpora fold to ≤ n_buckets-row bucket tables;
+    the log-ratio table (bounded by construction) broadcasts back onto
+    the per-doc counts; the final top-k is TakeOrdered (no global
+    sort). The raw corpus is shuffled only as (doc_id, bucket, cnt)
+    rows — never by text — and ``target`` may be a different corpus
+    entirely (the usual DSIR setup: a small high-quality domain
+    sample steering selection over a huge raw crawl).
+
+    Returns (id_col, log_weight, sel_key) for the k selected docs,
+    both floats rounded to 6 dp; docs with no tokens keep log w = 0
+    (neutral) and still compete through their Gumbel key."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if smoothing <= 0.0:
+        raise ValueError("smoothing must be positive (Laplace)")
+
+    a = float(smoothing)
+    aB = a * n_buckets
+    qd = (
+        hashed_ngram_buckets(docs, n_buckets, text_col, id_col)
+        .withColumnRenamed("doc_id", "__raw_id")
+    )
+    q = qd.groupBy("b").agg(F.sum("cnt").alias("qc"))
+    p = (
+        hashed_ngram_buckets(target, n_buckets, text_col, id_col)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+    tot = (
+        q.agg(F.sum("qc").alias("qn"))
+        .crossJoin(p.agg(F.sum("pc").alias("pn")))
+    )  # one row
+    lr = (
+        q.join(p, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("pc"), F.lit(0)) + F.lit(a))
+                - F.log(F.coalesce(F.col("pn"), F.lit(0)) + F.lit(aB))
+                - F.log(F.coalesce(F.col("qc"), F.lit(0)) + F.lit(a))
+                + F.log(F.coalesce(F.col("qn"), F.lit(0)) + F.lit(aB))
+            ).alias("lw"),
+        )
+    )
+    dw = (
+        qd.join(F.broadcast(lr), "b")
+        .groupBy("__raw_id")
+        .agg(F.sum(F.col("cnt") * F.col("lw")).alias("logw"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    gumbel = -F.log(-F.log((h + F.lit(0.5)) / F.lit(4294967296.0)))
+    logw = F.coalesce(F.col("logw"), F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(dw, F.col(id_col) == F.col("__raw_id"), "left")
+        .select(
+            id_col,
+            F.round(logw, 6).alias("log_weight"),
+            F.round(logw + gumbel, 6).alias("sel_key"),
+        )
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(k)
+    )

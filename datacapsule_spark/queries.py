@@ -935,6 +935,22 @@ def curation_stratified_sample(spark, sf_dir):
     )
 
 
+def curation_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023) gated end-to-end:
+    select 50 docs from the corpus toward the lang='en' target domain
+    using hashed uni+bigram bag features (1024 buckets, Laplace 1.0)
+    and deterministic md5-Gumbel top-k. The oracle replays the whole
+    estimator — feature hashing, both bucket distributions, the
+    log-ratio table, per-doc weights, and the Gumbel draw — in SQL,
+    so the cross-engine gate covers the math, not just the shape."""
+    from .operators.curation import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs, docs.where(F.col("lang") == "en"), k=50, n_buckets=1024
+    )
+
+
 def tokenizer_top_pairs(spark, sf_dir):
     """BPE training's core distributed step gated end-to-end: corpus →
     word-frequency table → end-of-word-marked symbol arrays → weighted
@@ -2207,6 +2223,7 @@ def multimodal_video_stats(spark, sf_dir):
 # block (oldest witness); the r05-witnessed 50 rotate to the back.
 QUERIES = {
     # --- new in r06 (never driver-witnessed) -------------------------------
+    "curation_dsir_select": curation_dsir_select,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3001,6 +3018,48 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+_o("curation_dsir_select")(
+    """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_t, g FROM (
+    SELECT doc_id, is_t, unnest(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, is_t,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM toks
+  ) WHERE g <> ''
+), db AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5(g), 1, 8))::UBIGINT % 1024)::BIGINT AS b,
+         count(*)::DOUBLE AS cnt
+  FROM grams GROUP BY 1, 2, 3
+), qd AS (SELECT b, sum(cnt) AS qc FROM db GROUP BY b),
+pd AS (SELECT b, sum(cnt) AS pc FROM db WHERE is_t GROUP BY b),
+tot AS (SELECT (SELECT sum(qc) FROM qd) AS qn, (SELECT sum(pc) FROM pd) AS pn),
+lr AS (
+  SELECT qd.b,
+         ln(coalesce(pc, 0) + 1.0) - ln(pn + 1024.0)
+         - ln(qc + 1.0) + ln(qn + 1024.0) AS lw
+  FROM qd LEFT JOIN pd USING (b) CROSS JOIN tot
+), dw AS (
+  SELECT doc_id, sum(cnt * lw) AS logw
+  FROM db JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(logw, 0.0), 6) AS log_weight,
+       round(coalesce(logw, 0.0)
+             - ln(-ln(((('0x' || substr(md5('dsir:' || d.doc_id), 1, 8))::UBIGINT
+                        + 0.5) / 4294967296.0))), 6) AS sel_key
+FROM documents d LEFT JOIN dw USING (doc_id)
+ORDER BY sel_key DESC, d.doc_id ASC LIMIT 50
 """
 )
 

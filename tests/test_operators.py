@@ -3266,3 +3266,69 @@ class TestAssignSplits:
 
         df = spark.range(10).withColumnRenamed("id", "doc_id")
         assert explain_report(assign_splits(df, "doc_id")).exchanges == 0
+
+
+class TestDsirSelect:
+    def _corpora(self, spark):
+        # 30 prose-vocab docs + 30 code-vocab docs; the target sample is
+        # 10 prose docs, so selection should steer hard toward prose.
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog again " * 3)
+            for i in range(30)
+        ] + [
+            (30 + i, "def foo bar return yield lambda class import self x " * 3)
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = spark.createDataFrame(rows[:10], "doc_id long, text string")
+        return docs, target
+
+    def test_planted_domain_dominates(self, spark):
+        """Every selected doc is from the target-like half: the per-doc
+        log-weight gap (~hundreds of nats for fully-disjoint vocab)
+        dwarfs the bounded md5-Gumbel noise (< 25 nats)."""
+        from datacapsule_spark.operators.curation import dsir_select
+
+        docs, target = self._corpora(spark)
+        out = dsir_select(docs, target, k=20, n_buckets=256).collect()
+        assert len(out) == 20
+        assert all(r["doc_id"] < 30 for r in out)
+        assert all(r["log_weight"] > 0 for r in out)
+
+    def test_deterministic_and_disjoint_target(self, spark):
+        """Same draw every run (md5-Gumbel, not rand), and the target
+        may be a separate corpus with its own id space — only its text
+        shapes the target distribution."""
+        from datacapsule_spark.operators.curation import dsir_select
+
+        docs, target = self._corpora(spark)
+        a = [tuple(r) for r in dsir_select(docs, target, k=15).collect()]
+        b = [tuple(r) for r in dsir_select(docs, target, k=15).collect()]
+        assert a == b
+        foreign = target.withColumn("doc_id", F.col("doc_id") + 100000)
+        c = [tuple(r) for r in dsir_select(docs, foreign, k=15).collect()]
+        assert a == c
+
+    def test_tokenless_doc_neutral_weight(self, spark):
+        """A doc with no tokens keeps log w = 0 and still competes via
+        its Gumbel key; k beyond the corpus returns the whole corpus."""
+        from datacapsule_spark.operators.curation import dsir_select
+
+        docs, target = self._corpora(spark)
+        docs = docs.union(
+            spark.createDataFrame([(999, "   ")], "doc_id long, text string")
+        )
+        out = {r["doc_id"]: r for r in dsir_select(docs, target, k=500).collect()}
+        assert len(out) == 61
+        assert out[999]["log_weight"] == 0.0
+
+    def test_validation(self, spark):
+        from datacapsule_spark.operators.curation import dsir_select
+
+        docs, target = self._corpora(spark)
+        with pytest.raises(ValueError):
+            dsir_select(docs, target, k=0)
+        with pytest.raises(ValueError):
+            dsir_select(docs, target, k=5, n_buckets=0)
+        with pytest.raises(ValueError):
+            dsir_select(docs, target, k=5, smoothing=0.0)
