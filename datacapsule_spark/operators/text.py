@@ -469,3 +469,131 @@ def linear_quality_score(
         F.coalesce("quality_prob", F.lit(sig0)).alias("quality_prob"),
     )
     return out.withColumn("keep", F.col("quality_prob") >= F.lit(float(threshold)))
+
+
+def train_linear_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+    iters: int = 5,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Train the hashed linear quality classifier that
+    linear_quality_score serves: full-batch logistic gradient descent
+    over the SAME featurization (x[b] = token count / n_tokens, bucket
+    = first 32 bits of md5(token) mod n_buckets), so the exported
+    weights drop straight into the scorer. The intercept is trained as
+    synthetic bucket -1 with x = 1 (returned as the bucket = -1 row;
+    pass it to the scorer's ``intercept=``).
+
+    Deterministic by construction — full-batch (no minibatch
+    sampling), zero-initialized, fixed iteration count — so the same
+    corpus always yields the same model, and a DuckDB oracle can
+    replay the whole optimization as unrolled SQL.
+
+    Update: w -= lr * (mean_d[(sigmoid(w·x_d) − y_d) · x_d] + l2·w).
+
+    Scale shape: features are built ONCE (the corpus's only text pass)
+    and localCheckpoint'd hash-partitioned by doc_id; each iteration
+    is then (a) a broadcast join of the ≤ n_buckets-row weight table
+    onto the feature rows with an exchange-free doc-keyed margin
+    aggregation, and (b) a residual×feature join that is zipper-local
+    (both sides pre-partitioned by doc_id, shuffle_hash — never a
+    driver broadcast of a corpus-scale side) feeding one bounded
+    (bucket, partial-grad) exchange. Weight state is re-checkpointed
+    every round, so plan depth stays O(1) in iters — the pagerank
+    pattern. Nothing corpus-scale ever broadcasts or collects.
+
+    Returns (bucket:bigint, weight:double), bucket -1 = intercept.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if lr <= 0.0:
+        raise ValueError("lr must be positive")
+    if l2 < 0.0:
+        raise ValueError("l2 must be non-negative")
+
+    spark = labeled.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    base = labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("double").alias("y"),
+        F.filter(_tokens(text_col), lambda t: t != "").alias("toks"),
+    )
+    toks = base.select(
+        "doc_id",
+        "y",
+        F.size("toks").alias("n_tokens"),
+        F.explode("toks").alias("tok"),  # tokenless docs keep intercept only
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+    tf = (
+        toks.withColumn("b", bucket)
+        .groupBy("doc_id", "y", "n_tokens", "b")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id", "y", "b",
+            (F.col("cnt").cast("double") / F.col("n_tokens")).alias("x"),
+        )
+    )
+    intercept_rows = base.select(
+        "doc_id", "y", F.lit(-1).cast("bigint").alias("b"), F.lit(1.0).alias("x")
+    )
+    feats = (
+        tf.unionByName(intercept_rows)
+        .repartition(par, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.where(F.col("b") == -1).count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "bucket bigint, weight double")
+
+    w = (
+        feats.select("b").distinct()
+        .select("b", F.lit(0.0).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        margins = (
+            feats.join(broadcast(w), "b", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.first("y").alias("y"),
+                F.sum(F.col("x") * F.coalesce("w", F.lit(0.0))).alias("m"),
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grads = (
+            feats.join(margins.hint("shuffle_hash"), "doc_id")
+            .groupBy("b")
+            .agg((F.sum(F.col("r") * F.col("x")) / F.lit(float(n_docs))).alias("g"))
+        )
+        w = (
+            w.join(broadcast(grads), "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.lit(float(lr))
+                    * (F.coalesce("g", F.lit(0.0)) + F.lit(float(l2)) * F.col("w"))
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))

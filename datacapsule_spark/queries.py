@@ -951,6 +951,27 @@ def curation_dsir_select(spark, sf_dir):
     )
 
 
+def text_classifier_train(spark, sf_dir):
+    """Distributed training of the hashed linear quality classifier
+    (full-batch logistic GD, 3 iterations, hashed uni-gram TF features,
+    md5 mod 256 buckets, L2 0.1) — the fastText-style filter's TRAINING
+    side, closing the loop with linear_quality_score. Deterministic by
+    construction (full batch, zero init, fixed iters), so the DuckDB
+    oracle replays the entire optimization as 3 unrolled SQL rounds:
+    margins → sigmoid residuals → bucket gradients → weight update."""
+    from .operators.text import train_linear_classifier
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("lang") == "en", F.lit(False))
+        .cast("int")
+        .alias("label"),
+    )
+    w = train_linear_classifier(docs, n_buckets=256, iters=3, lr=1.0, l2=0.1)
+    return w.select("bucket", F.round("weight", 6).alias("weight"))
+
+
 def tokenizer_top_pairs(spark, sf_dir):
     """BPE training's core distributed step gated end-to-end: corpus →
     word-frequency table → end-of-word-marked symbol arrays → weighted
@@ -2224,6 +2245,7 @@ def multimodal_video_stats(spark, sf_dir):
 QUERIES = {
     # --- new in r06 (never driver-witnessed) -------------------------------
     "curation_dsir_select": curation_dsir_select,
+    "text_classifier_train": text_classifier_train,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3018,6 +3040,51 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+# The classifier-training oracle unrolls the fixed-iteration GD loop as
+# chained CTEs — one (margins, residuals, gradients, update) round per
+# iteration, generated to stay byte-identical with the query's
+# hyperparameters (iters=3, lr=1.0, l2=0.1, 256 buckets).
+_LR_TRAIN_ROUND = """
+, m{k} AS (
+  SELECT f.doc_id, any_value(f.y) AS y, sum(f.x * coalesce(w.w, 0.0)) AS m
+  FROM feats f LEFT JOIN w{j} w USING (b) GROUP BY f.doc_id
+), r{k} AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{k}
+), g{k} AS (
+  SELECT f.b, sum(r.r * f.x) / (SELECT n FROM nd) AS g
+  FROM feats f JOIN r{k} r USING (doc_id) GROUP BY f.b
+), w{k} AS (
+  SELECT w.b, w.w - 1.0 * (coalesce(g.g, 0.0) + 0.1 * w.w) AS w
+  FROM w{j} w LEFT JOIN g{k} g USING (b)
+)"""
+
+_o("text_classifier_train")(
+    """
+WITH base AS (
+  SELECT doc_id, coalesce(lang = 'en', FALSE)::INT::DOUBLE AS y,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, y,
+         (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 256)::BIGINT AS b,
+         count(*)::DOUBLE / n_tokens AS x
+  FROM (SELECT doc_id, y, len(toks) AS n_tokens, unnest(toks) AS tok
+        FROM base)
+  GROUP BY doc_id, y, n_tokens, b
+), feats AS (
+  SELECT doc_id, y, b, x FROM tf
+  UNION ALL
+  SELECT doc_id, y, (-1)::BIGINT AS b, 1.0 AS x FROM base
+), nd AS (SELECT count(*)::DOUBLE AS n FROM base),
+w0 AS (SELECT DISTINCT b, 0.0 AS w FROM feats)
+"""
+    + "".join(_LR_TRAIN_ROUND.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+SELECT b AS bucket, round(w, 6) AS weight FROM w3
 """
 )
 
