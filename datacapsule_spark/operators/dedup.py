@@ -836,3 +836,76 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the distributed analogue of
+    Lee et al. 2022's suffix-array substring dedup, arXiv:2107.06499):
+    for every token position, fingerprint the ``min_len``-token window
+    (md5 over the shared shingle tokenization — split(lower(trim)),
+    same as shingle_rows); a window is DUPLICATED if its fingerprint
+    occurs more than once in the corpus (cross-doc or self-repeat,
+    as in the paper); per doc, runs of consecutive duplicated
+    positions merge to maximal spans.
+
+    Returns (doc_id, span_start, span_end, n_windows): 0-based token
+    offsets, inclusive; every min_len-window inside the span occurs
+    elsewhere, so the span is removable text. Callers cut spans or
+    drop docs whose spans cover most of the text.
+
+    Scale shape: every-position fingerprinting is token-scale by
+    definition — but what shuffles is (16-byte hash, id, pos) rows,
+    never text. Duplicate detection is groupBy(h) with map-side
+    partial counts rather than a count-over-window, so a boilerplate
+    fingerprint occurring 10M times folds to one row per map task
+    before the exchange (a window would sort all 10M copies on one
+    reducer — the hot-key trap). The join-back of the filtered
+    fingerprint set is unbounded on both sides → shuffle_hash, never
+    a driver broadcast. Island merging is one doc-keyed window over
+    duplicated positions only."""
+    from pyspark.sql import Window
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    L = int(min_len)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, L)],
+    )
+    wins = leads.where(F.col(f"t{L-1}").isNotNull()).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, L)])).alias(
+            "h"
+        ),
+    )
+    dup = wins.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    dp = wins.join(dup.select("h").hint("shuffle_hash"), "h").select(
+        "doc_id", "pos"
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(w2))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("grp")
+    )

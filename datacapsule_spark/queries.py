@@ -951,6 +951,18 @@ def curation_dsir_select(spark, sf_dir):
     )
 
 
+def dedup_duplicate_spans_docs(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 substring
+    dedup, distributed): every-position 4-token window fingerprints,
+    corpus-duplicated windows (count > 1, self-repeats included),
+    consecutive positions merged to maximal per-doc spans. min_len=4
+    on this corpus yields multi-span docs, so the island merge is
+    exercised, not vacuous."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), min_len=4)
+
+
 def text_classifier_train(spark, sf_dir):
     """Distributed training of the hashed linear quality classifier
     (full-batch logistic GD, 3 iterations, hashed uni-gram TF features,
@@ -2246,6 +2258,7 @@ QUERIES = {
     # --- new in r06 (never driver-witnessed) -------------------------------
     "curation_dsir_select": curation_dsir_select,
     "text_classifier_train": text_classifier_train,
+    "dedup_duplicate_spans_docs": dedup_duplicate_spans_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3040,6 +3053,30 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+_o("dedup_duplicate_spans_docs")(
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(t) - 3))::BIGINT AS pos,
+         unnest(list_transform(range(0, len(t) - 3),
+                               i -> md5(array_to_string(t[i+1:i+4], ' ')))) AS h
+  FROM toks WHERE len(t) >= 4
+), dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, grp
 """
 )
 

@@ -3426,3 +3426,55 @@ class TestTrainLinearClassifier:
             train_linear_classifier(labeled, l2=-0.1)
         empty = labeled.where(F.lit(False))
         assert train_linear_classifier(empty, iters=1).count() == 0
+
+
+class TestDuplicateSpans:
+    def test_planted_cross_doc_span(self, spark):
+        """Two docs share a 6-token run; with min_len=4 the duplicated
+        windows are exactly the 3 per doc covering that run, merging
+        to one span each at the right offsets. The unique doc is
+        span-free."""
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                (1, f"u1 u2 {shared} u3 u4"),
+                (2, f"v1 {shared} v2 v3 v4 v5"),
+                (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_spans(docs, min_len=4).collect()
+        }
+        assert 3 not in out and len(out) == 2
+        # doc 1: shared run at tokens 2..7 -> windows at pos 2,3,4
+        assert (out[1]["span_start"], out[1]["span_end"]) == (2, 7)
+        assert out[1]["n_windows"] == 3
+        # doc 2: shared run at tokens 1..6
+        assert (out[2]["span_start"], out[2]["span_end"]) == (1, 6)
+
+    def test_self_repeat_and_island_merge(self, spark):
+        """A within-doc repeat counts (the paper's semantics), and two
+        disjoint duplicated regions stay two spans."""
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        rep = "p q r s"
+        docs = spark.createDataFrame(
+            [(1, f"{rep} x1 x2 x3 {rep} y1 y2")],
+            "doc_id long, text string",
+        )
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in duplicate_spans(docs, min_len=4).collect()
+        )
+        assert spans == [(0, 3), (7, 10)]
+
+    def test_validation(self, spark):
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            duplicate_spans(docs, min_len=1)
