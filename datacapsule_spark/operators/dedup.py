@@ -909,3 +909,70 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut token spans out of documents — the removal half of
+    substring dedup (duplicate_spans finds removable spans; the caller
+    picks the keep-policy, e.g. keep the span in the smallest doc_id
+    holding the content, and passes the rest here).
+
+    spans: (doc_id, span_start, span_end) inclusive 0-based token
+    offsets under the shared tokenization. Text is rebuilt from the
+    surviving tokens joined by single spaces (tokenization is the
+    unit of every operator in this family, so intra-doc whitespace is
+    normalized — documented contract, asserted in the oracle twin).
+
+    Scale shape: tokens join spans per doc_id (co-keyed shuffle_hash —
+    both sides unbounded, never a driver broadcast); the surviving
+    (pos, tok) rows fold back per doc with an in-agg sort bounded by
+    the doc length. Returns (doc_id, n_tokens, n_removed, text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("span_start").alias("_s"),
+        F.col("span_end").alias("_e"),
+    )
+    hit = (
+        toks.join(sp.hint("shuffle_hash"), "doc_id")
+        .where(F.col("pos").between(F.col("_s"), F.col("_e")))
+        .select("doc_id", "pos")
+        .distinct()  # overlapping spans may cover a position twice
+    )
+    kept = toks.join(hit.hint("shuffle_hash"), ["doc_id", "pos"], "left_anti")
+    n_tok = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("text"),
+        )
+    )
+    return (
+        n_tok.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

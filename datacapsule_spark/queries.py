@@ -963,6 +963,23 @@ def dedup_duplicate_spans_docs(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), min_len=4)
 
 
+def dedup_strip_spans_docs(spark, sf_dir):
+    """Substring dedup end-to-end: find every-position duplicated
+    spans (min_len=4) and CUT them, rebuilding the surviving text —
+    the removal mechanism gate (keep-policy is the caller's; this
+    twin removes every duplicated occurrence). The oracle rebuilds
+    the byte-identical cleaned text and compares md5, so tokenization,
+    span offsets, overlap handling, and the whitespace-normalization
+    contract are all verified, not just row counts."""
+    from .operators.dedup import duplicate_spans, strip_spans
+
+    docs = _docs(spark, sf_dir)
+    out = strip_spans(docs, duplicate_spans(docs, min_len=4))
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("text").alias("clean_md5")
+    )
+
+
 def text_classifier_train(spark, sf_dir):
     """Distributed training of the hashed linear quality classifier
     (full-batch logistic GD, 3 iterations, hashed uni-gram TF features,
@@ -2259,6 +2276,7 @@ QUERIES = {
     "curation_dsir_select": curation_dsir_select,
     "text_classifier_train": text_classifier_train,
     "dedup_duplicate_spans_docs": dedup_duplicate_spans_docs,
+    "dedup_strip_spans_docs": dedup_strip_spans_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3077,6 +3095,49 @@ isl AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
        count(*)::BIGINT AS n_windows
 FROM isl GROUP BY doc_id, grp
+"""
+)
+
+_o("dedup_strip_spans_docs")(
+    """
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(range(0, len(t)))::BIGINT AS pos, unnest(t) AS tok
+  FROM arr
+), wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(t) - 3))::BIGINT AS pos,
+         unnest(list_transform(range(0, len(t) - 3),
+                               i -> md5(array_to_string(t[i+1:i+4], ' ')))) AS h
+  FROM arr WHERE len(t) >= 4
+), dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e FROM isl
+  GROUP BY doc_id, grp
+), hit AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  ANTI JOIN hit h ON t.doc_id = h.doc_id AND t.pos = h.pos
+), nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(n_kept, 0) AS n_removed,
+       md5(coalesce(text, '')) AS clean_md5
+FROM nt LEFT JOIN rebuilt USING (doc_id)
 """
 )
 

@@ -3478,3 +3478,49 @@ class TestDuplicateSpans:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             duplicate_spans(docs, min_len=1)
+
+
+class TestStripSpans:
+    def test_cut_rebuild_and_overlap(self, spark):
+        """Spans cut exact token ranges; overlapping spans count each
+        position once; span-free docs pass through (normalized to the
+        family's tokenization: lowercased, single spaces); a fully
+        covered doc rebuilds to empty text."""
+        from datacapsule_spark.operators.dedup import strip_spans
+
+        docs = spark.createDataFrame(
+            [
+                (1, "A b   C d e f"),
+                (2, "keep me intact"),
+                (3, "x y z"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = spark.createDataFrame(
+            [(1, 2, 3), (1, 3, 4), (3, 0, 2)],
+            "doc_id long, span_start long, span_end long",
+        )
+        out = {r["doc_id"]: r for r in strip_spans(docs, spans).collect()}
+        assert out[1]["text"] == "a b f" and out[1]["n_removed"] == 3
+        assert out[1]["n_tokens"] == 6
+        assert out[2]["text"] == "keep me intact" and out[2]["n_removed"] == 0
+        assert out[3]["text"] == "" and out[3]["n_removed"] == 3
+
+    def test_composes_with_duplicate_spans(self, spark):
+        """find → cut leaves no duplicated min_len-window behind."""
+        from datacapsule_spark.operators.dedup import (
+            duplicate_spans, strip_spans,
+        )
+
+        shared = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [(1, f"a1 {shared} a2"), (2, f"b1 b2 {shared}")],
+            "doc_id long, text string",
+        )
+        cleaned = strip_spans(docs, duplicate_spans(docs, min_len=4))
+        again = duplicate_spans(
+            cleaned.select("doc_id", "text"), min_len=4
+        ).count()
+        assert again == 0
+        texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+        assert texts[1] == "a1 a2" and texts[2] == "b1 b2"
