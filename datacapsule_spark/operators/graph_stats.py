@@ -1208,3 +1208,115 @@ def graph_summary(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame
             6,
         ).alias("global_clustering"),
     )
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    m: int = 64,
+    max_radius: int = 8,
+    early_stop: bool = True,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, arXiv:1308.2144): the
+    neighborhood function N(r) = Σ_v |ball(v, r)| estimated with one
+    HyperLogLog counter per node — THE web-scale way to measure graph
+    distances (reachable-set growth, effective diameter) without
+    all-pairs BFS: per round, each node's counter is the register-wise
+    max of its own and its out-neighbors' counters, so the whole graph
+    advances one radius in ONE edge-scale join + aggregation.
+
+    Registers are md5-derived (bucket = first 32 hash bits mod m, rho
+    from the next 32 bits), so the DuckDB oracle replays the estimator
+    bit-for-bit against exact recursive-CTE balls. Counter state is
+    SPARSE (node, register, value) rows — absent registers are 0 — so
+    state is ≤ m rows per node and register merging is a plain
+    map-side-combining max aggregation (hub-safe), never an array
+    aggregate or a hot collect. Per round: one shuffle_hash join of
+    the edge list onto the state (both unbounded, checkpoint-fed —
+    never a driver broadcast) + one (node, register) max; state
+    re-checkpoints each round for O(1) plan depth. Registers only
+    grow, so (row count, register sum) is a complete convergence
+    witness — one O(1)-row action per round.
+
+    Returns (radius, nf_est): radius 0..max_radius (early_stop=True
+    cuts the tail once converged — the production default; gates use
+    early_stop=False for a fixed row count). nf_est is the standard
+    HLL estimate with small-range correction, summed over nodes.
+    """
+    if m not in _HLL_ALPHA and (m < 128 or m & (m - 1)):
+        raise ValueError("m must be 16, 32, 64, or a power of two >= 128")
+    if max_radius < 0:
+        raise ValueError("max_radius must be >= 0")
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    h = F.md5(F.col("node").cast("string"))
+    v2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    state = nodes.select(
+        "node",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(m)).alias(
+            "ri"
+        ),
+        F.when(v2 == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(v2)))
+        .cast("int")
+        .alias("rv"),
+    ).localCheckpoint(eager=True)
+
+    def nf_at(st: DataFrame, r: int) -> DataFrame:
+        per_node = st.groupBy("node").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rv"))).alias("ssum"),
+        )
+        raw = (
+            F.lit(alpha * m * m)
+            / (F.col("ssum") + (F.lit(m) - F.col("cnt")))
+        )
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("cnt") < F.lit(m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("cnt"))),
+        ).otherwise(raw)
+        return per_node.agg(F.round(F.sum(est), 3).alias("nf_est")).select(
+            F.lit(r).cast("bigint").alias("radius"), "nf_est"
+        )
+
+    out = [nf_at(state, 0)]
+    sig = state.agg(
+        F.count("*").alias("n"), F.sum("rv").alias("s")
+    ).collect()[0]
+    prev = (sig["n"], sig["s"])
+    for r in range(1, max_radius + 1):
+        grown = e.join(
+            state.hint("shuffle_hash"), e.t == state.node
+        ).select(F.col("s").alias("node"), "ri", "rv")
+        state = (
+            state.unionByName(grown)
+            .groupBy("node", "ri")
+            .agg(F.max("rv").alias("rv"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nf_at(state, r))
+        sig = state.agg(
+            F.count("*").alias("n"), F.sum("rv").alias("s")
+        ).collect()[0]
+        cur = (sig["n"], sig["s"])
+        if early_stop and cur == prev:
+            break
+        prev = cur
+
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, out)

@@ -1923,6 +1923,22 @@ def graph_summary_cosupply(spark, sf_dir):
     return graph_summary(_cosupply_pairs(spark, sf_dir))
 
 
+def graph_hyperball_cosupply(spark, sf_dir):
+    """HyperBall neighborhood function over the symmetric co-supply
+    graph (m=64 HLL registers, radii 0..4, fixed row count for the
+    gate). The DuckDB oracle computes EXACT balls per radius via a
+    recursive CTE and replays the md5-register estimator bit-for-bit —
+    the approximation itself is what the gate verifies, not a looser
+    bound."""
+    from .operators.graph_stats import hyperball
+
+    p = _cosupply_pairs(spark, sf_dir)
+    sym = p.unionByName(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return hyperball(sym, m=64, max_radius=4, early_stop=False)
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -2277,6 +2293,7 @@ QUERIES = {
     "text_classifier_train": text_classifier_train,
     "dedup_duplicate_spans_docs": dedup_duplicate_spans_docs,
     "dedup_strip_spans_docs": dedup_strip_spans_docs,
+    "graph_hyperball_cosupply": graph_hyperball_cosupply,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3071,6 +3088,47 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+_o("graph_hyperball_cosupply")(
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_quantity >= 45 AND l2.l_quantity >= 45
+), e AS (
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)
+), r AS (
+  SELECT u AS source, u AS node, 0 AS d FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.source, e.v, r.d + 1 FROM r JOIN e ON r.node = e.u WHERE r.d < 4
+), md AS (
+  SELECT source, node, min(d) AS dist FROM r GROUP BY 1, 2
+), hashed AS (
+  SELECT source, dist,
+         (('0x' || substr(md5(node::VARCHAR), 1, 8))::UBIGINT % 64)::BIGINT AS ri,
+         ('0x' || substr(md5(node::VARCHAR), 9, 8))::UBIGINT AS v2
+  FROM md
+), radii AS (SELECT unnest(range(0, 5))::BIGINT AS radius),
+regs AS (
+  SELECT h.source, rad.radius, h.ri,
+         max(CASE WHEN v2 = 0 THEN 33 ELSE 33 - length(bin(v2)) END) AS rv
+  FROM hashed h JOIN radii rad ON h.dist <= rad.radius
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT source, radius, count(*) AS cnt,
+         sum(pow(2.0, -rv)) AS ssum
+  FROM regs GROUP BY 1, 2
+)
+SELECT radius,
+       round(sum(CASE WHEN 0.709 * 4096 / (ssum + (64 - cnt)) <= 160.0
+                       AND cnt < 64
+                      THEN 64.0 * ln(64.0 / (64 - cnt))
+                      ELSE 0.709 * 4096 / (ssum + (64 - cnt)) END), 3) AS nf_est
+FROM agg GROUP BY radius
 """
 )
 

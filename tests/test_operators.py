@@ -3524,3 +3524,53 @@ class TestStripSpans:
         assert again == 0
         texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
         assert texts[1] == "a1 a2" and texts[2] == "b1 b2"
+
+
+class TestHyperball:
+    def _path(self, spark, n=8):
+        rows = []
+        for i in range(n - 1):
+            rows += [(i, i + 1), (i + 1, i)]
+        return spark.createDataFrame(rows, "a long, b long")
+
+    def test_tracks_exact_neighborhood_function(self, spark):
+        """On a path graph the exact N(r) is closed-form; the m=64
+        estimate stays within HLL error (~13% at m=64; assert 25%)."""
+        from datacapsule_spark.operators.graph_stats import hyperball
+
+        n = 8
+        out = {
+            r["radius"]: r["nf_est"]
+            for r in hyperball(
+                self._path(spark, n), m=64, max_radius=3, early_stop=False
+            ).collect()
+        }
+        exact = {
+            r: sum(
+                min(i + r, n - 1) - max(i - r, 0) + 1 for i in range(n)
+            )
+            for r in range(4)
+        }
+        for r in range(4):
+            assert abs(out[r] - exact[r]) / exact[r] < 0.25
+        assert out[0] < out[1] < out[2] < out[3]  # monotone growth
+
+    def test_early_stop_at_diameter(self, spark):
+        """Counters converge at the diameter: early_stop emits one
+        repeated radius then cuts; fixed mode emits max_radius+1."""
+        from datacapsule_spark.operators.graph_stats import hyperball
+
+        g = self._path(spark, 4)  # diameter 3
+        rows = hyperball(g, m=16, max_radius=10).collect()
+        assert len(rows) <= 6  # 0..diameter(+1 repeat), far below 11
+        fixed = hyperball(g, m=16, max_radius=6, early_stop=False).collect()
+        assert len(fixed) == 7
+
+    def test_validation(self, spark):
+        from datacapsule_spark.operators.graph_stats import hyperball
+
+        g = self._path(spark, 3)
+        with pytest.raises(ValueError):
+            hyperball(g, m=24)
+        with pytest.raises(ValueError):
+            hyperball(g, max_radius=-1)
