@@ -737,15 +737,21 @@ def dsir_select(
 
     a = float(smoothing)
     aB = a * n_buckets
+    # qd feeds BOTH the raw-distribution agg and the per-doc weight
+    # join; p feeds both the total and the ratio table — materialize
+    # once or the shingle chain executes per consumer (the documented
+    # double-execution hazard; sf0.1 steady-state 12.0s -> 3.9s)
     qd = (
         hashed_ngram_buckets(docs, n_buckets, text_col, id_col)
         .withColumnRenamed("doc_id", "__raw_id")
+        .localCheckpoint(eager=True)
     )
     q = qd.groupBy("b").agg(F.sum("cnt").alias("qc"))
     p = (
         hashed_ngram_buckets(target, n_buckets, text_col, id_col)
         .groupBy("b")
         .agg(F.sum("cnt").alias("pc"))
+        .localCheckpoint(eager=True)  # <= n_buckets rows
     )
     tot = (
         q.agg(F.sum("qc").alias("qn"))
@@ -782,7 +788,9 @@ def dsir_select(
     logw = F.coalesce(F.col("logw"), F.lit(0.0))
     return (
         docs.select(id_col)
-        .join(dw, F.col(id_col) == F.col("__raw_id"), "left")
+        # dw is corpus-scale and checkpoint-fed (no stats): force the
+        # hash-shuffle join, never a fallback driver broadcast
+        .join(dw.hint("shuffle_hash"), F.col(id_col) == F.col("__raw_id"), "left")
         .select(
             id_col,
             F.round(logw, 6).alias("log_weight"),
