@@ -470,3 +470,69 @@ def test_tokenizer_pairs_topk_and_pruning(spark):
         take_ordered=True,
         max_scan_columns=2,
     )
+
+
+def test_duplicate_spans_shuffled_join_no_broadcast(spark):
+    """duplicate_spans' join-back of the duplicated-fingerprint set
+    onto the window table has BOTH sides corpus-scale and checkpoint-
+    free of stats — it must be a ShuffledHashJoin, never a fallback
+    driver broadcast, and duplicate detection must be a hash AGGREGATE
+    (map-side combining), not a count-over-window sort."""
+    from datacapsule_spark.operators.dedup import duplicate_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    r = explain_report(duplicate_spans(d, min_len=4))
+    assert r.shuffled_hash_joins >= 1, r.text
+    assert r.broadcast_joins == 0, r.text
+    assert r.cartesian_products == 0 and r.nested_loop_joins == 0, r.text
+
+
+def test_dsir_bounded_broadcasts_only(spark):
+    """dsir_select: the ≤n_buckets-row log-ratio table and the 1-row
+    totals broadcast (bounded by construction); the corpus-scale
+    per-doc weight join must be a ShuffledHashJoin."""
+    from datacapsule_spark.operators.curation import dsir_select
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    r = explain_report(dsir_select(d, d.where(F.col("lang") == "en"), k=10))
+    assert r.shuffled_hash_joins >= 1, r.text
+    assert r.broadcast_joins >= 1, r.text  # the bounded ratio table
+    # exactly two 1-row folds (q-total × p-total, ratio × totals); a
+    # third would mean an unbounded side slipped into a BNLJ
+    assert r.nested_loop_joins <= 2, r.text
+    assert r.cartesian_products == 0, r.text
+    assert r.take_ordered == 1, r.text  # top-k never a global sort
+
+
+def test_trainer_plan_depth_constant(spark):
+    """Like pagerank: the trainer's returned weight table is a single
+    checkpoint scan after any number of GD rounds — no join tower,
+    zero exchanges (per-round join hints live inside the executed
+    rounds, same machinery as the pagerank sweep)."""
+    from datacapsule_spark.operators.text import train_linear_classifier
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("label"))
+    )
+    r = explain_report(train_linear_classifier(d, n_buckets=64, iters=3))
+    assert r.exchanges == 0, r.text
+    assert "Scan ExistingRDD" in r.text, r.text
+
+
+def test_hyperball_round_plan_shape(spark):
+    """The per-radius neighborhood-function aggregates scan checkpointed
+    counter state: no join tower, no broadcast of anything (there is no
+    bounded side in this operator), one exchange per radius for the
+    node-keyed estimate aggregation."""
+    from datacapsule_spark.operators.graph_stats import hyperball
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)],
+        "a long, b long",
+    )
+    r = explain_report(hyperball(e, m=16, max_radius=2, early_stop=False))
+    assert r.broadcast_joins == 0, r.text
+    assert r.sort_merge_joins == 0 and r.shuffled_hash_joins == 0, r.text
+    assert r.cartesian_products == 0 and r.nested_loop_joins == 0, r.text
+    assert "Scan ExistingRDD" in r.text, r.text
