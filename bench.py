@@ -85,6 +85,14 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "vector_quantized_topk",
     "curation_stratified_sample",
+    # new in r06 session 4: DSIR selection (bucket folds + broadcast
+    # ratio join), classifier training (3 GD rounds), every-position
+    # substring spans + cutting, HyperBall neighborhood function
+    "curation_dsir_select",
+    "text_classifier_train",
+    "dedup_duplicate_spans_docs",
+    "dedup_strip_spans_docs",
+    "graph_hyperball_cosupply",
 ]
 
 

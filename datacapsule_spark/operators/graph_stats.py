@@ -1320,3 +1320,29 @@ def hyperball(
     from functools import reduce
 
     return reduce(DataFrame.unionAll, out)
+
+
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
+    """Effective diameter at quantile q from a hyperball() result:
+    the smallest radius whose neighborhood function reaches q of the
+    final (converged or max-radius) value, linearly interpolated
+    between radii as in HyperANF/HyperBall practice. Driver-side on
+    the ≤(max_radius+1)-row nf table."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    rows = sorted(
+        (r["radius"], r["nf_est"]) for r in nf.select("radius", "nf_est").collect()
+    )
+    if not rows:
+        raise ValueError("empty neighborhood function")
+    target = q * rows[-1][1]
+    prev_r, prev_v = rows[0]
+    if prev_v >= target:
+        return float(prev_r)
+    for r, v in rows[1:]:
+        if v >= target:
+            if v == prev_v:
+                return float(r)
+            return prev_r + (target - prev_v) / (v - prev_v)
+        prev_r, prev_v = r, v
+    return float(rows[-1][0])

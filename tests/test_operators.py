@@ -3574,3 +3574,20 @@ class TestHyperball:
             hyperball(g, m=24)
         with pytest.raises(ValueError):
             hyperball(g, max_radius=-1)
+
+    def test_effective_diameter(self, spark):
+        """On the 8-path, N(r) is closed-form; the q=0.9 effective
+        diameter from the m=64 estimate lands within ±1 of the exact
+        value; q=1 reaches the last radius; validation raises."""
+        from datacapsule_spark.operators.graph_stats import (
+            effective_diameter, hyperball,
+        )
+
+        nf = hyperball(self._path(spark, 8), m=64, max_radius=7)
+        d = effective_diameter(nf, q=0.9)
+        # exact N(r) on the 8-path: target 0.9*64=57.6 between r=4 (56)
+        # and r=5 (60) -> exact eff. diameter ~4.4
+        assert 3.4 <= d <= 5.4
+        assert effective_diameter(nf, q=1.0) <= 7.0
+        with pytest.raises(ValueError):
+            effective_diameter(nf, q=0.0)
