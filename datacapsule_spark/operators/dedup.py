@@ -152,17 +152,17 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def band_rows(
     signatures: DataFrame,
     n_bands: int = 4,
     rows_per_band: int = 4,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band of the signature become a
-    candidate pair (a < b). Shuffle key = (band_idx, band_hash).
-    hash_fn must match the one the signatures were built with: "md5"
-    (string sig elements, oracle-reproducible band hash) or
-    "xxhash64" (bigint elements, native band hash)."""
+    """Banded LSH rows (doc_id, band_idx, band_hash) — the ONE banding
+    implementation, shared by the in-memory pair join and the
+    incremental on-disk index (dedup_index.py). hash_fn must match the
+    signatures': "md5" (string elements, oracle-reproducible) or
+    "xxhash64" (bigint elements, native)."""
     def band_hash(b):
         elems = [
             F.element_at("sig", b * rows_per_band + r + 1)
@@ -174,13 +174,26 @@ def minhash_lsh_pairs(
             return F.xxhash64(*elems)
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
-    # the self-join consumes `bands` twice; without materialization the
-    # whole shingle→signature pipeline would run once per side
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.array(*[band_hash(b) for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair (a < b). Shuffle key = (band_idx, band_hash)."""
+    # the self-join consumes `bands` twice; without materialization the
+    # whole shingle→signature pipeline would run once per side
+    bands = band_rows(
+        signatures, n_bands, rows_per_band, hash_fn
     ).localCheckpoint(eager=False)
     # shuffle_hash: bands is corpus-scale (|docs| × n_bands rows) and
     # comes off a localCheckpoint with no stats — Catalyst's fallback
@@ -215,31 +228,16 @@ def minhash_lsh_pairs_cross(
     come from minhash_signatures with identical n_hashes/hash_fn.
     Caller contract: id domains are disjoint (pairs are emitted
     without an ordering constraint)."""
-    def band_rows(sigs):
-        def band_hash(b):
-            elems = [
-                F.element_at("sig", b * rows_per_band + r + 1)
-                for r in range(rows_per_band)
-            ]
-            if hash_fn == "md5":
-                return F.md5(F.concat_ws("|", *elems))
-            if hash_fn == "xxhash64":
-                return F.xxhash64(*elems)
-            raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-
-        return sigs.select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[band_hash(b) for b in range(n_bands)])
-            ).alias("band_idx", "band_hash"),
-        )
-
     # shuffle_hash: neither corpus is stats-known here and either can be
     # huge (train side always is) — never leave the build side to
     # Catalyst's no-stats broadcast guess. AQE may still downgrade the
     # exchange reader when the eval side turns out tiny at runtime.
-    left = band_rows(signatures_a).alias("l")
-    right = band_rows(signatures_b).hint("shuffle_hash").alias("r")
+    left = band_rows(signatures_a, n_bands, rows_per_band, hash_fn).alias("l")
+    right = (
+        band_rows(signatures_b, n_bands, rows_per_band, hash_fn)
+        .hint("shuffle_hash")
+        .alias("r")
+    )
     return (
         left.join(
             right,
@@ -843,6 +841,7 @@ def duplicate_spans(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring spans (the distributed analogue of
     Lee et al. 2022's suffix-array substring dedup, arXiv:2107.06499):
@@ -894,6 +893,15 @@ def duplicate_spans(
             "h"
         ),
     )
+    # wins feeds the duplicate aggregation AND the probe join; without
+    # materialization the tokenize+window chain executes once per
+    # consumer (no ReusedExchange fires: the Window subtree appears
+    # twice in the plan). materialize=True checkpoints the compact
+    # (doc_id, pos, 16-byte h) rows once — the right trade at corpus
+    # scale where the window SHUFFLE dominates; materialize=False
+    # recomputes, which can win at small scale on cached scans.
+    if materialize:
+        wins = wins.localCheckpoint(eager=True)
     dup = wins.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") > 1)
     dp = wins.join(dup.select("h").hint("shuffle_hash"), "h").select(
         "doc_id", "pos"

@@ -963,6 +963,35 @@ def dedup_duplicate_spans_docs(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), min_len=4)
 
 
+def dedup_lsh_index_docs(spark, sf_dir):
+    """The INCREMENTAL dedup index gated end-to-end: build the band
+    index on 80% of the corpus, upsert the remaining 20% at version 1,
+    tombstone every doc_id % 50 == 0 at version 2, then read candidate
+    pairs from the index. The oracle replays plain whole-corpus banding
+    over the LIVE set in SQL — so the version-log resolution, O(batch)
+    upsert, and tombstone semantics must compose to exactly the
+    from-scratch answer."""
+    import shutil
+
+    from .operators.dedup_index import (
+        build_lsh_index, delete_lsh_docs, lsh_index_pairs, upsert_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = f"/tmp/dcs_lsh_index_gate_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_lsh_index(docs.where(F.col("doc_id") % 5 != 0), path)
+    upsert_lsh_index(docs.where(F.col("doc_id") % 5 == 0), path, version=1)
+    dead = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_lsh_docs(spark, path, dead, version=2)
+    return lsh_index_pairs(spark, path)
+
+
 def dedup_strip_spans_docs(spark, sf_dir):
     """Substring dedup end-to-end: find every-position duplicated
     spans (min_len=4) and CUT them, rebuilding the surviving text —
@@ -2294,6 +2323,7 @@ QUERIES = {
     "dedup_duplicate_spans_docs": dedup_duplicate_spans_docs,
     "dedup_strip_spans_docs": dedup_strip_spans_docs,
     "graph_hyperball_cosupply": graph_hyperball_cosupply,
+    "dedup_lsh_index_docs": dedup_lsh_index_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3153,6 +3183,20 @@ isl AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
        count(*)::BIGINT AS n_windows
 FROM isl GROUP BY doc_id, grp
+"""
+)
+
+_o("dedup_lsh_index_docs")(
+    # whole-corpus banding over the LIVE set (tombstoned ids out): the
+    # incremental index's version-log reads must equal this rebuild
+    _SHINGLES_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 50 <> 0", 1
+    )
+    + _MINHASH_BANDS_CTE
+    + """
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 """
 )
 
