@@ -246,3 +246,38 @@ def streaming_decode_media_features(
     return media_stream.mapInPandas(
         decode_features_kernel(strict), schema=DECODED_FEATURES
     )
+
+
+def streaming_lsh_index_update(
+    spark, docs_dir: str, index_dir: str, checkpoint_dir: str,
+    schema=None, trigger_once: bool = True, version_base: int = 1,
+):
+    """Continuous near-dup index maintenance: readStream(docs) →
+    foreachBatch → dedup_index.upsert_lsh_index at version
+    ``version_base + batch_id`` — the arriving firehose folds into the
+    standing band index in O(batch) per micro-batch, and any consumer
+    can probe/read the index mid-stream (version-log reads are always
+    consistent). Build the index on the standing corpus first
+    (build_lsh_index); stream deltas after.
+
+    Delivery is AT-LEAST-ONCE (the rollup twin's caveat): a replayed
+    batch re-appends the SAME rows at the SAME version — harmless for
+    reads (the resolution window picks one log row and pair/probe
+    results are distinct) and reclaimed by compact_lsh_index. Batch
+    ids are monotone, so a doc updated across batches resolves to its
+    latest text. Caller contract: a doc_id at most once per
+    micro-batch (same-version duplicates with DIFFERENT text are
+    undefined, as in upsert_lsh_index). Returns the StreamingQuery."""
+    from ..operators.dedup_index import upsert_lsh_index
+
+    if schema is None:  # file streams need an explicit schema
+        schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda batch_df, bid: upsert_lsh_index(
+            batch_df, index_dir, version=version_base + bid
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -507,3 +507,67 @@ def test_decode_media_fuzz_never_escapes_quarantine(spark):
             assert r["err"] and r["features"] is None
         else:
             assert r["features"] is not None
+
+
+def test_streaming_lsh_index_equals_rebuild(spark, tmp_path):
+    """Streamed index maintenance: build on a standing corpus, stream a
+    delta in (availableNow), and the index's pairs equal the in-memory
+    rebuild over standing ∪ delta; a second streamed update of an
+    existing doc supersedes it (latest version wins)."""
+    from datacapsule_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures,
+    )
+    from datacapsule_spark.operators.dedup_index import (
+        build_lsh_index, lsh_index_pairs,
+    )
+    from datacapsule_spark.streaming.stream_ops import (
+        streaming_lsh_index_update,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"standing corpus doc number {i} body") for i in range(10)]
+        + [(100, "shared near dup text body one"),
+           (101, "shared near dup text body one")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_lsh_index(base, idx)
+
+    src = str(tmp_path / "delta_in")
+    delta1 = spark.createDataFrame(
+        [(200, "shared near dup text body one"),
+         (201, "totally fresh streamed text")],
+        "doc_id long, text string",
+    )
+    delta1.write.mode("append").parquet(src)
+    q = streaming_lsh_index_update(spark, src, idx, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    def pairs_of(df):
+        return sorted(
+            (r["a"], r["b"])
+            for r in minhash_lsh_pairs(minhash_signatures(df)).collect()
+        )
+
+    live = base.unionByName(delta1)
+    got = sorted((r["a"], r["b"]) for r in lsh_index_pairs(spark, idx).collect())
+    assert got == pairs_of(live) and (100, 200) in got
+
+    # second stream: doc 200 changes text and leaves the dup cluster
+    delta2 = spark.createDataFrame(
+        [(200, "rewritten text no longer a duplicate")],
+        "doc_id long, text string",
+    )
+    delta2.write.mode("append").parquet(src)
+    q2 = streaming_lsh_index_update(spark, src, idx, str(tmp_path / "ck1"))
+    q2.awaitTermination(120)
+    live2 = base.unionByName(
+        spark.createDataFrame(
+            [(201, "totally fresh streamed text"),
+             (200, "rewritten text no longer a duplicate")],
+            "doc_id long, text string",
+        )
+    )
+    got2 = sorted((r["a"], r["b"]) for r in lsh_index_pairs(spark, idx).collect())
+    assert got2 == pairs_of(live2)
+    assert all(200 not in p for p in got2)
