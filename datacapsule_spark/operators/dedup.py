@@ -897,9 +897,11 @@ def duplicate_spans(
     # materialization the tokenize+window chain executes once per
     # consumer (no ReusedExchange fires: the Window subtree appears
     # twice in the plan). materialize=True checkpoints the compact
-    # (doc_id, pos, 16-byte h) rows once — the right trade at corpus
-    # scale where the window SHUFFLE dominates; materialize=False
-    # recomputes, which can win at small scale on cached scans.
+    # (doc_id, pos, 16-byte h) rows once. Fresh-JVM alternating A/B at
+    # sf0.1 (3 reps): mat best 2.10s vs nomat 2.13s — within noise at
+    # toy scale, so the default keeps the checkpoint: the recompute tax
+    # is a full second corpus pass at 100 TB, the checkpoint cost is a
+    # compact local spill that shrinks relative to it.
     if materialize:
         wins = wins.localCheckpoint(eager=True)
     dup = wins.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") > 1)
