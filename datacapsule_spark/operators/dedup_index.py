@@ -132,7 +132,10 @@ def delete_lsh_docs(
     spark: SparkSession, path: str, ids: list, version: int
 ) -> None:
     """Append tombstones: the docs stop pairing immediately, no band
-    rows touched — O(batch)."""
+    rows touched — O(batch). An empty id list is a no-op (schema
+    inference can't see an empty local list)."""
+    if not ids:
+        return
     spark.createDataFrame([(i,) for i in ids], ["doc_id"]).select(
         F.col("doc_id"),
         F.lit(int(version)).cast("long").alias("_version"),

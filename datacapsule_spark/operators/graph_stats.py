@@ -1275,6 +1275,9 @@ def hyperball(
         .cast("int")
         .alias("rv"),
     ).localCheckpoint(eager=True)
+    if not state.take(1):  # empty graph: no radii, not null-estimate rows
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "radius bigint, nf_est double")
 
     def nf_at(st: DataFrame, r: int) -> DataFrame:
         per_node = st.groupBy("node").agg(

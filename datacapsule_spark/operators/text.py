@@ -523,7 +523,10 @@ def train_linear_classifier(
     spark = labeled.sparkSession
     par = spark.sparkContext.defaultParallelism
 
-    base = labeled.select(
+    base = labeled.where(F.col(label_col).isNotNull()).select(
+        # null labels are dropped up front: they would otherwise count
+        # in n_docs but contribute null residuals, silently deflating
+        # every gradient
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("double").alias("y"),
         F.filter(_tokens(text_col), lambda t: t != "").alias("toks"),

@@ -138,3 +138,10 @@ class TestLshIndex:
         )
         pairs = _pairs_set(lsh_index_pairs(spark, path))
         assert (0, 103) in pairs or (103, 0) in pairs
+
+    def test_delete_empty_ids_noop(self, spark, tmp_path):
+        path = str(tmp_path / "lsh")
+        build_lsh_index(_corpus_v0(spark), path)
+        before = _pairs_set(lsh_index_pairs(spark, path))
+        delete_lsh_docs(spark, path, [], version=1)
+        assert _pairs_set(lsh_index_pairs(spark, path)) == before

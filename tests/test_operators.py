@@ -3427,6 +3427,28 @@ class TestTrainLinearClassifier:
         empty = labeled.where(F.lit(False))
         assert train_linear_classifier(empty, iters=1).count() == 0
 
+    def test_null_labels_dropped(self, spark):
+        """Rows with null labels must not deflate the gradient mean:
+        training on (labeled + null-label noise) equals training on
+        labeled alone."""
+        from datacapsule_spark.operators.text import train_linear_classifier
+
+        labeled = self._labeled(spark)
+        noisy = labeled.unionByName(
+            spark.createDataFrame(
+                [(900, "some unlabeled doc", None)],
+                "doc_id long, text string, label int",
+            )
+        )
+        a = sorted(map(tuple, train_linear_classifier(labeled, n_buckets=64, iters=2).collect()))
+        b = sorted(map(tuple, train_linear_classifier(noisy, n_buckets=64, iters=2).collect()))
+        # null-label doc's tokens are absent entirely, so weight SUPPORT
+        # may differ only by buckets unique to it — compare shared
+        da, db = dict(a), dict(b)
+        assert set(da) == set(db)
+        for k in da:
+            assert abs(da[k] - db[k]) < 1e-12
+
 
 class TestDuplicateSpans:
     def test_planted_cross_doc_span(self, spark):
@@ -3591,3 +3613,11 @@ class TestHyperball:
         assert effective_diameter(nf, q=1.0) <= 7.0
         with pytest.raises(ValueError):
             effective_diameter(nf, q=0.0)
+
+    def test_empty_graph_returns_empty(self, spark):
+        from datacapsule_spark.operators.graph_stats import hyperball
+
+        e = spark.createDataFrame([], "a long, b long")
+        out = hyperball(e, m=16, max_radius=3)
+        assert out.count() == 0
+        assert out.columns == ["radius", "nf_est"]
