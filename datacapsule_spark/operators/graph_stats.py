@@ -1349,3 +1349,169 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
             return prev_r + (target - prev_v) / (v - prev_v)
         prev_r, prev_v = r, v
     return float(rows[-1][0])
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 30,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Directed SCC → (node, component), component = min node id of
+    the SCC — the directed twin of canonicalize's undirected CC, for
+    the KG's directed relation graphs (calls/imports cycles).
+
+    The Pregel-style trim + forward-max-coloring + backward-reach
+    scheme: (1) TRIM peels nodes with no in- or no out-edges in the
+    active subgraph (singleton SCCs — most of a real call graph);
+    (2) forward propagation gives every node the max id that reaches
+    it; (3) a backward reachability from each color root, constrained
+    to the root's own color, carves out exactly the root's SCC; remove
+    and repeat. Every step is an edge-scale shuffle_hash join + a
+    node-keyed aggregate with per-round eager checkpoints (O(1) plan
+    depth — the pagerank machinery). Phase count is small on real
+    graphs (trim kills DAG regions wholesale) but adversarial chains
+    of interlocking cycles need one phase per cycle layer, so a
+    non-converged run RAISES (the k_core contract) rather than
+    returning a partial assignment."""
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes0 = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    done = spark.createDataFrame([], "node long, component long")
+    active_nodes, e = nodes0, e0
+    for _ in range(max_phases):
+        if not active_nodes.take(1):
+            return done
+        # ---- trim: nodes missing an in- OR out-edge are singleton SCCs
+        while True:
+            has_out = e.select(F.col("s").alias("node")).distinct()
+            has_in = e.select(F.col("t").alias("node")).distinct()
+            keep = has_out.join(
+                has_in.hint("shuffle_hash"), "node"
+            ).localCheckpoint(eager=True)
+            trimmed = active_nodes.join(
+                keep.hint("shuffle_hash"), "node", "left_anti"
+            )
+            if not trimmed.take(1):
+                break
+            done = done.unionByName(
+                trimmed.select("node", F.col("node").alias("component"))
+            ).localCheckpoint(eager=True)
+            active_nodes = keep
+            e = (
+                e.join(
+                    keep.withColumnRenamed("node", "s").hint("shuffle_hash"),
+                    "s", "left_semi",
+                )
+                .join(
+                    keep.withColumnRenamed("node", "t").hint("shuffle_hash"),
+                    "t", "left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+        if not active_nodes.take(1):
+            return done
+        # ---- forward max-coloring to fixpoint
+        color = active_nodes.select(
+            "node", F.col("node").alias("c")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            inc = (
+                e.join(
+                    color.withColumnRenamed("node", "s").hint("shuffle_hash"),
+                    "s",
+                )
+                .groupBy(F.col("t").alias("node"))
+                .agg(F.max("c").alias("cin"))
+            )
+            nxt = (
+                color.join(inc.hint("shuffle_hash"), "node", "left")
+                .select(
+                    # greatest() ignores nulls: nodes with no in-edge
+                    # this round keep their color
+                    "node",
+                    F.greatest("c", "cin").alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.join(
+                    color.withColumnRenamed("c", "c0").hint("shuffle_hash"),
+                    "node",
+                )
+                .where(F.col("c") != F.col("c0"))
+                .take(1)
+            )
+            color = nxt
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"SCC coloring did not stabilize in {max_iter} rounds; "
+                "raise max_iter"
+            )
+        # ---- backward reach from roots within their color = the SCCs
+        roots = color.where(F.col("node") == F.col("c")).select(
+            "node", "c"
+        )
+        member = roots.localCheckpoint(eager=True)  # (node, c) in SCC(c)
+        for _ in range(max_iter):
+            grown = (
+                e.join(
+                    member.withColumnRenamed("node", "t").hint("shuffle_hash"),
+                    "t",
+                )
+                .select(F.col("s").alias("node"), "c")
+                .join(
+                    color.withColumnRenamed("c", "c0").hint("shuffle_hash"),
+                    "node",
+                )
+                .where(F.col("c") == F.col("c0"))
+                .select("node", "c")
+                .join(member.hint("shuffle_hash"), ["node", "c"], "left_anti")
+                .distinct()
+            )
+            if not grown.take(1):
+                break
+            member = member.unionByName(grown).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                f"SCC backward reach did not close in {max_iter} rounds; "
+                "raise max_iter"
+            )
+        scc = member.groupBy("c").agg(F.min("node").alias("component"))
+        assigned = member.join(
+            scc.hint("shuffle_hash"), "c"
+        ).select("node", "component").localCheckpoint(eager=True)
+        done = done.unionByName(assigned).localCheckpoint(eager=True)
+        active_nodes = active_nodes.join(
+            assigned.select("node").hint("shuffle_hash"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        e = (
+            e.join(
+                assigned.select(F.col("node").alias("s")).hint("shuffle_hash"),
+                "s", "left_anti",
+            )
+            .join(
+                assigned.select(F.col("node").alias("t")).hint("shuffle_hash"),
+                "t", "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if active_nodes.take(1):
+        raise RuntimeError(
+            f"SCC did not finish in {max_phases} phases (interlocking "
+            "cycle layers peel one per phase); raise max_phases"
+        )
+    return done

@@ -1968,6 +1968,29 @@ def graph_hyperball_cosupply(spark, sf_dir):
     return hyperball(sym, m=64, max_radius=4, early_stop=False)
 
 
+def graph_scc_suppliers(spark, sf_dir):
+    """Directed strongly-connected components over a deterministic
+    functional graph on real supplier keys (s → s²%m and s → s³%m —
+    staying inside the real 0..m-1 key space; dozens of SCCs at
+    sf0.01 incl. multi-node cores and singleton tails, so trim, coloring, AND the multi-root backward
+    reach all execute non-vacuously). Oracle = recursive-CTE mutual
+    reachability with min-id canonicalization."""
+    from .operators.graph_stats import strongly_connected_components
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    m = sup.count()
+    k = F.col("s_suppkey")
+    e = sup.select(
+        k.alias("src"), ((k * k) % m).alias("dst")
+    ).unionByName(
+        sup.select(k.alias("src"), ((k * k * k) % m).alias("dst"))
+    )
+    return strongly_connected_components(e).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def graph_pagerank_cosupply(spark, sf_dir):
     """Top-10 suppliers by PageRank over the directed co-order graph
     (edge a→b when a and b supply the same order, a < b). Iterative,
@@ -2324,6 +2347,7 @@ QUERIES = {
     "dedup_strip_spans_docs": dedup_strip_spans_docs,
     "graph_hyperball_cosupply": graph_hyperball_cosupply,
     "dedup_lsh_index_docs": dedup_lsh_index_docs,
+    "graph_scc_suppliers": graph_scc_suppliers,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_video_stats": multimodal_video_stats,
@@ -3118,6 +3142,36 @@ SELECT x, y, c_xy::BIGINT AS c_xy,
        round(ln(c_xy::DOUBLE * n_tok / (ux.c * uy.c)), 6) AS pmi
 FROM bgc JOIN uni ux ON bgc.x = ux.tok JOIN uni uy ON bgc.y = uy.tok, tot
 ORDER BY pmi DESC, x, y LIMIT 20
+"""
+)
+
+_o("graph_scc_suppliers")(
+    """
+WITH RECURSIVE m AS (SELECT count(*)::BIGINT AS m FROM supplier),
+e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s_suppkey AS s, (s_suppkey * s_suppkey) % m AS t
+    FROM supplier, m
+    UNION ALL
+    SELECT s_suppkey,
+           (s_suppkey * s_suppkey * s_suppkey) % m
+    FROM supplier, m
+  ) WHERE s <> t
+),
+reach AS (
+  SELECT s AS a, t AS b FROM e
+  UNION
+  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s
+),
+mutual AS (
+  SELECT r1.a AS node, r1.b AS other
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+nodes AS (SELECT s_suppkey AS node FROM supplier)
+SELECT n.node::BIGINT AS node,
+       least(n.node, coalesce(min(mu.other), n.node))::BIGINT AS component
+FROM nodes n LEFT JOIN mutual mu ON mu.node = n.node
+GROUP BY n.node
 """
 )
 

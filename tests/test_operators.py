@@ -3621,3 +3621,59 @@ class TestHyperball:
         out = hyperball(e, m=16, max_radius=3)
         assert out.count() == 0
         assert out.columns == ["radius", "nf_est"]
+
+
+class TestSCC:
+    def test_hand_graph(self, spark):
+        """Two cycles, a feeding tail, a dangling branch, a disjoint
+        path — every SCC labeled by its min member, singletons kept."""
+        from datacapsule_spark.operators.graph_stats import (
+            strongly_connected_components as scc,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (6, 1), (3, 7), (8, 9)],
+            "src long, dst long",
+        )
+        got = sorted((r["node"], r["component"]) for r in scc(df).collect())
+        assert got == [
+            (1, 1), (2, 1), (3, 1), (4, 4), (5, 4),
+            (6, 6), (7, 7), (8, 8), (9, 9),
+        ]
+
+    def test_dag_all_singletons_and_full_cycle(self, spark):
+        from datacapsule_spark.operators.graph_stats import (
+            strongly_connected_components as scc,
+        )
+
+        dag = spark.createDataFrame(
+            [(i, j) for i in range(6) for j in range(i + 1, 6)],
+            "src long, dst long",
+        )
+        got = {(r["node"], r["component"]) for r in scc(dag).collect()}
+        assert got == {(i, i) for i in range(6)}
+
+        n = 12
+        ring = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+        )
+        got = {(r["node"], r["component"]) for r in scc(ring).collect()}
+        assert got == {(i, 0) for i in range(n)}
+
+    def test_nonconvergence_raises(self, spark):
+        from datacapsule_spark.operators.graph_stats import (
+            strongly_connected_components as scc,
+        )
+
+        # 3 chained 2-cycles with LARGER ids upstream: every downstream
+        # color is overwritten by the upstream max, so exactly one SCC
+        # is carved per phase — max_phases=1 must refuse, not return a
+        # partial assignment
+        df = spark.createDataFrame(
+            [(9, 10), (10, 9), (10, 7), (7, 8), (8, 7), (8, 5), (5, 6), (6, 5)],
+            "src long, dst long",
+        )
+        with pytest.raises(RuntimeError):
+            scc(df, max_phases=1)
+        got = sorted((r["node"], r["component"]) for r in scc(df).collect())
+        assert got == [(5, 5), (6, 5), (7, 7), (8, 7), (9, 9), (10, 9)]
