@@ -842,6 +842,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    keep: str = "none",
 ) -> DataFrame:
     """Exact duplicated-substring spans (the distributed analogue of
     Lee et al. 2022's suffix-array substring dedup, arXiv:2107.06499):
@@ -857,6 +858,15 @@ def duplicate_spans(
     elsewhere, so the span is removable text. Callers cut spans or
     drop docs whose spans cover most of the text.
 
+    keep="none" (default) marks EVERY occurrence of a duplicated
+    window — cutting them removes the content entirely. keep="first"
+    is the paper's keep-one rule: the canonical occurrence (min
+    (doc_id, pos) per fingerprint, a packed-bigint min so the argmin
+    is one map-side-combining aggregate, never a sort-over-window)
+    is NOT marked, so strip_spans removes all-but-one copy and
+    re-running duplicate_spans on the result finds nothing
+    (pytest-pinned fixed point).
+
     Scale shape: every-position fingerprinting is token-scale by
     definition — but what shuffles is (16-byte hash, id, pos) rows,
     never text. Duplicate detection is groupBy(h) with map-side
@@ -871,6 +881,8 @@ def duplicate_spans(
 
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
+    if keep not in ("none", "first"):
+        raise ValueError('keep must be "none" or "first"')
     L = int(min_len)
 
     toks = docs.select(
@@ -904,10 +916,18 @@ def duplicate_spans(
     # compact local spill that shrinks relative to it.
     if materialize:
         wins = wins.localCheckpoint(eager=True)
-    dup = wins.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") > 1)
-    dp = wins.join(dup.select("h").hint("shuffle_hash"), "h").select(
-        "doc_id", "pos"
+    # packed (doc_id, pos) lets the canonical first occurrence fall out
+    # of the SAME partial-aggregating groupBy that counts duplicates
+    packed = F.col("doc_id") * F.lit(1 << 31) + F.col("pos")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n"), F.min(packed).alias("first_at"))
+        .where(F.col("n") > 1)
     )
+    hits = wins.join(dup.hint("shuffle_hash"), "h")
+    if keep == "first":
+        hits = hits.where(packed != F.col("first_at"))
+    dp = hits.select("doc_id", "pos")
     w2 = Window.partitionBy("doc_id").orderBy("pos")
     isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(w2))
     return (

@@ -3501,6 +3501,39 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError):
             duplicate_spans(docs, min_len=1)
 
+    def test_keep_first_fixed_point(self, spark):
+        """keep='first': the canonical occurrence survives, the rest
+        cut — and cutting reaches the dedup fixed point (re-running
+        finds nothing), while keep='none' would have removed the
+        content everywhere."""
+        from datacapsule_spark.operators.dedup import (
+            duplicate_spans, strip_spans,
+        )
+
+        shared = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [(1, f"{shared} a1 a2"), (2, f"b1 {shared} b2"),
+             (3, f"c1 c2 {shared}")],
+            "doc_id long, text string",
+        )
+        spans = duplicate_spans(docs, min_len=4, keep="first")
+        got = {r["doc_id"] for r in spans.collect()}
+        assert got == {2, 3}  # doc 1 holds the canonical (min id, pos)
+        cleaned = strip_spans(docs, spans)
+        texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+        assert texts[1] == f"{shared} a1 a2"
+        assert texts[2] == "b1 b2" and texts[3] == "c1 c2"
+        assert duplicate_spans(
+            cleaned.select("doc_id", "text"), min_len=4
+        ).count() == 0
+
+    def test_keep_validation(self, spark):
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            duplicate_spans(docs, min_len=4, keep="last")
+
 
 class TestStripSpans:
     def test_cut_rebuild_and_overlap(self, spark):
