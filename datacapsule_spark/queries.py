@@ -992,6 +992,23 @@ def dedup_lsh_index_docs(spark, sf_dir):
     return lsh_index_pairs(spark, path)
 
 
+def dedup_lsh_index_probe_docs(spark, sf_dir):
+    """The O(delta) incremental query gated cross-engine: build the
+    band index on doc_id % 7 != 0, probe the % 7 == 0 delta against it
+    — only the delta is shingled at query time. Oracle = whole-corpus
+    SQL banding joined across the two sides (per-doc signatures make
+    union banding ≡ per-set banding)."""
+    import shutil
+
+    from .operators.dedup_index import build_lsh_index, lsh_index_probe
+
+    docs = _docs(spark, sf_dir)
+    path = f"/tmp/dcs_lsh_probe_gate_{abs(hash(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_lsh_index(docs.where(F.col("doc_id") % 7 != 0), path)
+    return lsh_index_probe(docs.where(F.col("doc_id") % 7 == 0), path)
+
+
 def dedup_strip_spans_docs(spark, sf_dir):
     """Substring dedup end-to-end: find every-position duplicated
     spans (min_len=4) and CUT them, rebuilding the surviving text —
@@ -2347,6 +2364,7 @@ QUERIES = {
     "dedup_strip_spans_docs": dedup_strip_spans_docs,
     "graph_hyperball_cosupply": graph_hyperball_cosupply,
     "dedup_lsh_index_docs": dedup_lsh_index_docs,
+    "dedup_lsh_index_probe_docs": dedup_lsh_index_probe_docs,
     "graph_scc_suppliers": graph_scc_suppliers,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
@@ -3251,6 +3269,17 @@ _o("dedup_lsh_index_docs")(
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+)
+
+_o("dedup_lsh_index_probe_docs")(
+    _SHINGLES_CTE
+    + _MINHASH_BANDS_CTE
+    + """
+SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS index_id
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+WHERE l.doc_id % 7 = 0 AND r.doc_id % 7 <> 0
 """
 )
 
