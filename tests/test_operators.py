@@ -3534,6 +3534,55 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError):
             duplicate_spans(docs, min_len=4, keep="last")
 
+    def test_random_corpora_match_bruteforce(self, spark):
+        """3 seeded random corpora over a tiny alphabet (dense window
+        collisions) against a pure-Python reference for BOTH keep
+        modes, plus the keep-first fixed point."""
+        import random
+
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        def brute(texts, L, keep):
+            wins = {}
+            for d, t in texts.items():
+                toks = t.strip().lower().split()
+                for p in range(len(toks) - L + 1):
+                    wins.setdefault(" ".join(toks[p:p+L]), []).append((d, p))
+            marked = set()
+            for occ in wins.values():
+                if len(occ) > 1:
+                    skip = min(occ) if keep == "first" else None
+                    marked |= {o for o in occ if o != skip}
+            spans = []
+            for d in texts:
+                ps = sorted(p for (dd, p) in marked if dd == d)
+                i = 0
+                while i < len(ps):
+                    j = i
+                    while j + 1 < len(ps) and ps[j+1] == ps[j] + 1:
+                        j += 1
+                    spans.append((d, ps[i], ps[j] + L - 1, j - i + 1))
+                    i = j + 1
+            return sorted(spans)
+
+        for seed in range(3):
+            rng = random.Random(seed)
+            texts = {
+                d: " ".join(
+                    rng.choice("abcde") for _ in range(rng.randint(4, 30))
+                )
+                for d in range(12)
+            }
+            df = spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            )
+            for keep in ("none", "first"):
+                got = sorted(
+                    (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+                    for r in duplicate_spans(df, min_len=3, keep=keep).collect()
+                )
+                assert got == brute(texts, 3, keep), (seed, keep)
+
 
 class TestStripSpans:
     def test_cut_rebuild_and_overlap(self, spark):
@@ -3710,3 +3759,37 @@ class TestSCC:
             scc(df, max_phases=1)
         got = sorted((r["node"], r["component"]) for r in scc(df).collect())
         assert got == [(5, 5), (6, 5), (7, 7), (8, 7), (9, 9), (10, 9)]
+
+    def test_random_graphs_match_networkx(self, spark):
+        """5 seeded random digraphs (n=24, p=0.08 — mixes multi-node
+        SCCs with DAG fringe) against NetworkX's Tarjan-based SCC."""
+        import random
+
+        import networkx as nx
+
+        from datacapsule_spark.operators.graph_stats import (
+            strongly_connected_components as scc,
+        )
+
+        for seed in range(5):
+            rng = random.Random(seed)
+            n = 24
+            edges = [
+                (i, j)
+                for i in range(n)
+                for j in range(n)
+                if i != j and rng.random() < 0.08
+            ]
+            if not edges:
+                continue
+            g = nx.DiGraph(edges)
+            want = {}
+            for comp in nx.strongly_connected_components(g):
+                root = min(comp)
+                for v in comp:
+                    want[v] = root
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = {
+                r["node"]: r["component"] for r in scc(df).collect()
+            }
+            assert got == want, f"seed {seed}"
