@@ -1009,6 +1009,16 @@ def dedup_lsh_index_probe_docs(spark, sf_dir):
     return lsh_index_probe(docs.where(F.col("doc_id") % 7 == 0), path)
 
 
+def dedup_keep_first_spans_docs(spark, sf_dir):
+    """duplicate_spans keep='first' gated cross-engine: the canonical
+    occurrence (min packed (doc_id, pos) per window fingerprint) is
+    exempt, every other occurrence marked — the Lee et al. keep-one
+    rule. The oracle replays the packed argmin in SQL."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), min_len=4, keep="first")
+
+
 def dedup_strip_spans_docs(spark, sf_dir):
     """Substring dedup end-to-end: find every-position duplicated
     spans (min_len=4) and CUT them, rebuilding the surviving text —
@@ -2362,6 +2372,7 @@ QUERIES = {
     "text_classifier_train": text_classifier_train,
     "dedup_duplicate_spans_docs": dedup_duplicate_spans_docs,
     "dedup_strip_spans_docs": dedup_strip_spans_docs,
+    "dedup_keep_first_spans_docs": dedup_keep_first_spans_docs,
     "graph_hyperball_cosupply": graph_hyperball_cosupply,
     "dedup_lsh_index_docs": dedup_lsh_index_docs,
     "dedup_lsh_index_probe_docs": dedup_lsh_index_probe_docs,
@@ -3280,6 +3291,36 @@ SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS index_id
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
 WHERE l.doc_id % 7 = 0 AND r.doc_id % 7 <> 0
+"""
+)
+
+_o("dedup_keep_first_spans_docs")(
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(0, len(t) - 3))::BIGINT AS pos,
+         unnest(list_transform(range(0, len(t) - 3),
+                               i -> md5(array_to_string(t[i+1:i+4], ' ')))) AS h
+  FROM toks WHERE len(t) >= 4
+), dup AS (
+  SELECT h, min(doc_id * 2147483648 + pos) AS first_at
+  FROM wins GROUP BY h HAVING count(*) > 1
+),
+dp AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)
+  WHERE w.doc_id * 2147483648 + w.pos <> dup.first_at
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, grp
 """
 )
 
