@@ -281,3 +281,44 @@ def streaming_lsh_index_update(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_lsh_dedup_on_ingest(
+    spark, docs_dir: str, index_dir: str, hits_dir: str,
+    checkpoint_dir: str, schema=None, trigger_once: bool = True,
+    version_base: int = 1,
+):
+    """Near-dup screening ON INGEST: for each micro-batch, (1) probe
+    the batch against the standing band index (O(batch) — only the
+    batch shingles), appending the (new_id, index_id, batch_id)
+    candidates to ``hits_dir``; then (2) fold the batch into the index
+    at version ``version_base + batch_id`` so later batches dedup
+    against it too. The order inside the batch matters: probe BEFORE
+    upsert, so a doc never reports itself as its own near-dup and
+    within-batch pairs stay the caller's concern (as in
+    lsh_index_probe).
+
+    Replay caveat (at-least-once foreachBatch): a re-delivered batch
+    re-probes and re-appends its hits — hits_dir rows carry batch_id,
+    so consumers dedup with a DISTINCT or latest-batch read; the index
+    side is replay-safe as in streaming_lsh_index_update. Returns the
+    StreamingQuery."""
+    from ..operators.dedup_index import lsh_index_probe, upsert_lsh_index
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+
+    def step(batch_df, bid):
+        hits = lsh_index_probe(batch_df, index_dir).withColumn(
+            "batch_id", F.lit(int(bid)).cast("long")
+        )
+        hits.write.mode("append").parquet(hits_dir)
+        upsert_lsh_index(batch_df, index_dir, version=version_base + bid)
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    writer = stream.writeStream.foreachBatch(step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -571,3 +571,63 @@ def test_streaming_lsh_index_equals_rebuild(spark, tmp_path):
     got2 = sorted((r["a"], r["b"]) for r in lsh_index_pairs(spark, idx).collect())
     assert got2 == pairs_of(live2)
     assert all(200 not in p for p in got2)
+
+
+def test_streaming_dedup_on_ingest(spark, tmp_path):
+    """Probe-then-fold per batch: the first streamed delta's dup is
+    flagged against the STANDING corpus; a second delta's dup of a
+    doc from the FIRST delta is flagged too (the index grew mid-
+    stream); fresh docs produce no hits; and the index ends equal to
+    the rebuild over everything."""
+    from datacapsule_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures,
+    )
+    from datacapsule_spark.operators.dedup_index import (
+        build_lsh_index, lsh_index_pairs,
+    )
+    from datacapsule_spark.streaming.stream_ops import (
+        streaming_lsh_dedup_on_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "standing shared near dup body"), (2, "plain standing doc two")],
+        "doc_id long, text string",
+    )
+    idx, hits = str(tmp_path / "idx"), str(tmp_path / "hits")
+    build_lsh_index(base, idx)
+
+    src = str(tmp_path / "in")
+    d1 = spark.createDataFrame(
+        [(10, "standing shared near dup body"), (11, "fresh streamed text one")],
+        "doc_id long, text string",
+    )
+    d1.write.mode("append").parquet(src)
+    q = streaming_lsh_dedup_on_ingest(
+        spark, src, idx, hits, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    d2 = spark.createDataFrame(
+        [(20, "fresh streamed text one"), (21, "never seen anywhere else")],
+        "doc_id long, text string",
+    )
+    d2.write.mode("append").parquet(src)
+    q2 = streaming_lsh_dedup_on_ingest(
+        spark, src, idx, hits, str(tmp_path / "ck")
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in spark.read.parquet(hits).collect()
+    }
+    assert got == {(10, 1), (20, 11)}  # cross-batch dup caught mid-stream
+
+    live = base.unionByName(d1).unionByName(d2)
+    want = sorted(
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(minhash_signatures(live)).collect()
+    )
+    assert sorted(
+        (r["a"], r["b"]) for r in lsh_index_pairs(spark, idx).collect()
+    ) == want
