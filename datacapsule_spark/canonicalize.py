@@ -58,12 +58,14 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    if driver_threshold > 0:
-        # materialize BEFORE the emptiness probe: isEmpty() executes the
-        # full upstream lineage (e.g. near_dedup's minhash→band→jaccard
-        # chain), so probing first and checkpointing after ran that
-        # lineage twice per CC call
-        e = e.localCheckpoint(eager=True)
+    # materialize BEFORE the emptiness probe: isEmpty() executes the
+    # full upstream lineage (e.g. near_dedup's minhash→band→jaccard
+    # chain), so probing first and checkpointing after ran that
+    # lineage twice per CC call. Unconditional since r07: with
+    # driver_threshold=0 the distributed loop's round 1 otherwise
+    # re-executes the upstream lineage FIVE times (isEmpty, twice in
+    # nbrs, twice in the convergence check).
+    e = e.localCheckpoint(eager=True)
     if e.isEmpty():
         return spark.createDataFrame([], "node_id string, canonical_id string")
 
@@ -75,7 +77,11 @@ def connected_components(
     for _ in range(max_iter):
         # --- large-star: for each u, attach all neighbors v with v > u
         #     to m(u) = min(N(u) ∪ {u})
-        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # nbrs feeds the min-aggregation AND the star join: materialize
+        # so the 2|E| union is built once per round, not twice
+        nbrs = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=False)
         mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
         mins = mins.withColumn("m", F.least("m", "u"))
         large = (
@@ -89,9 +95,11 @@ def connected_components(
         )
         # --- small-star: orient edges to (larger → smaller); for each u
         #     attach all smaller neighbors to the minimum
+        # oriented feeds mins2 AND the star join: materialize so the
+        # large-star join+distinct above runs once per round, not twice
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+        ).localCheckpoint(eager=False)
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             oriented.join(mins2.hint("shuffle_hash"), "u")
@@ -105,12 +113,17 @@ def connected_components(
             .distinct()
         )
         small = small.localCheckpoint(eager=True)  # truncate lineage
-        # convergence: edge set stable
+        # convergence: edge set stable — ONE action (both sides are
+        # distinct, so set semantics: two anti-joins unioned, early-out
+        # via limit). The old two-exceptAll form was two driver round-
+        # trips per round of pure scheduling latency.
         delta = (
-            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
+            small.join(e, ["u", "v"], "left_anti").limit(1)
+            .union(e.join(small, ["u", "v"], "left_anti").limit(1))
+            .take(1)
         )
         e = small
-        if delta == 0:
+        if not delta:
             break
 
     # e now maps every non-root node to its component root
@@ -140,7 +153,11 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in e.toLocalIterator():
+    # collect(), not toLocalIterator(): the fast path is gated at
+    # ≤ driver_threshold (1M) edges — comfortably driver-sized — and
+    # toLocalIterator pays one sequential job round-trip per partition
+    # (32 here) for data that arrives in one
+    for r in e.collect():
         ra, rb = find(r["u"]), find(r["v"])
         if ra != rb:
             if rb < ra:

@@ -641,7 +641,11 @@ def simhash_pairs(
                 ]
             )
         ).alias("blk", "val"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the self-join below consumes `blocks` on BOTH sides; without the
+    # materialization the entire upstream fingerprint computation (for
+    # simhash64 inputs: the token explode + 60-bit aggregation) executes
+    # once per side — measured 2x the stage for zero benefit (r07).
     # shuffle_hash: blocks is corpus-scale (n_blocks rows/doc) — without
     # stats Catalyst broadcasts a side of the self-join (driver OOM at
     # scale); the (blk, val) shuffle IS the blocking scheme

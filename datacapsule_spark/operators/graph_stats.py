@@ -112,7 +112,11 @@ def k_core(
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        keep = deg.where(F.col("d") >= k).select("node")
+        # consumed by BOTH semi-joins below: materialize so the degree
+        # aggregation over the edge union runs once per round, not twice
+        keep = deg.where(F.col("d") >= k).select("node").localCheckpoint(
+            eager=False
+        )
         e2 = (
             e.join(
                 keep.withColumnRenamed("node", "u").hint("shuffle_hash"),
@@ -416,7 +420,10 @@ def link_prediction(
     # shuffle_hash hints: nbrs is 2|E| rows, zdeg/deg node-scale, the
     # wedge self-join quadratic in hub degree — all unbounded,
     # stats-less sides (no-stats broadcast = driver OOM at scale)
-    nbz = nbrs.join(zdeg.hint("shuffle_hash"), "z")
+    # consumed by BOTH sides of the wedge self-join (and the capped
+    # degree recount): materialize so the 2|E|-row degree join runs
+    # once, not once per consumer
+    nbz = nbrs.join(zdeg.hint("shuffle_hash"), "z").localCheckpoint(eager=False)
     if max_neighbor_degree is not None:
         # jaccard denominators must use the SAME capped neighbor sets
         # the intersection counts — recount degrees post-cap
@@ -769,6 +776,11 @@ def hits(
             e.join(scores.hint("shuffle_hash"), e[key_in] == scores.node)
             .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("x").alias("raw"))
+            # consumed TWICE per push (the broadcast normalizer subtree
+            # AND the main join): without materialization the edge-scale
+            # join+agg executes once per consumer — the r06 DSIR
+            # double-execution bug, found here by r07's plan audit
+            .localCheckpoint(eager=False)
         )
         tot = raw.groupBy().agg(
             F.coalesce(F.sum("raw"), F.lit(0.0)).alias("_tot")

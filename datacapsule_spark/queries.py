@@ -1584,7 +1584,10 @@ def vector_ann_ivf_batch(spark, sf_dir):
     queries = e.where(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    top = ivf_topk_batch(indexed, centroids, queries, k=5, n_probe=8)
+    # kernel pinned: dim-64 embeddings take the hof path anyway, and the
+    # explicit choice skips auto's first()-peek action (ADVICE r06)
+    top = ivf_topk_batch(indexed, centroids, queries, k=5, n_probe=8,
+                         kernel="hof")
     return top.select(
         "query_id", F.col("id").alias("vec_id"), F.round("sim", 6).alias("sim")
     )
@@ -1632,7 +1635,9 @@ def vector_ann_recall(spark, sf_dir):
     queries = e.where(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_recall_at_k(indexed, centroids, queries, k=5, n_probe=8)
+    # kernel pinned: dim-64 takes hof anyway; skips auto's first() peek
+    return ann_recall_at_k(indexed, centroids, queries, k=5, n_probe=8,
+                           kernel="hof")
 
 
 def vector_label_centroid_sim(spark, sf_dir):

@@ -151,15 +151,22 @@ def find_nodes_by_node_type(
         for vf in visited_frontiers[1:]:
             visited = visited.union(vf)
         frontier = (
-            expanded.select("query_id", "node_id", "rank")
+            expanded.select("query_id", "node_id", "node_type", "rank")
             .join(visited, ["query_id", "node_id"], "left_anti")
             .localCheckpoint(eager=True)  # truncate lineage + terminate check
         )
         if frontier.isEmpty():
             break
         visited_frontiers.append(frontier.select("query_id", "node_id"))
+        # target hits come off the CHECKPOINTED frontier, not `expanded`:
+        # accumulating from expanded re-executed each hop's full
+        # expansion join tree once more when the final union was
+        # evaluated (r07). Equivalent: the first time a (query_id,
+        # target node) pair is reached it survives the anti-join into
+        # the frontier; start nodes of the target type are in the
+        # initial `hits`.
         hits = hits.union(
-            expanded.where(F.col("node_type") == target_type).select(
+            frontier.where(F.col("node_type") == target_type).select(
                 "query_id", "node_id"
             )
         )

@@ -363,6 +363,7 @@ def ivf_topk_batch(
     id_col: str = "id",
     vec_col: str = "embedding",
     kernel: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batched IVF probe: Q queries in ONE Spark job (r03 VERDICT item
     4 — the per-query `ivf_topk` loop is Q scheduler round-trips).
@@ -402,8 +403,13 @@ def ivf_topk_batch(
     from pyspark.sql import Window
 
     if kernel == "auto":
-        first_q = queries.select("qvec").first()
-        dim = len(first_q[0]) if first_q and first_q[0] is not None else 0
+        # pass `dim` when the caller knows the embedding width: the
+        # first() peek is a real Spark action that re-executes the
+        # query-side upstream lineage during plan CONSTRUCTION (r07;
+        # ADVICE r06) — fine interactively, waste inside a benched path
+        if dim is None:
+            first_q = queries.select("qvec").first()
+            dim = len(first_q[0]) if first_q and first_q[0] is not None else 0
         kernel = "arrow" if dim >= AUTO_KERNEL_DIM else "hof"
 
     c = np.asarray(centroids, dtype=np.float64)
@@ -534,6 +540,8 @@ def ann_recall_at_k(
     n_probe: int = 4,
     id_col: str = "id",
     vec_col: str = "embedding",
+    kernel: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall screen for the ANN dial: 1-row (k, n_probe, n_queries,
     recall) comparing the IVF probe's top-k against the exact
@@ -549,7 +557,7 @@ def ann_recall_at_k(
     oracle-gated fixed point; narrow probes are pytest-screened."""
     approx = ivf_topk_batch(
         indexed, centroids, queries, k=k, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, kernel=kernel, dim=dim,
     ).select("query_id", id_col)
     # cosine_topk_batch hardcodes (id, embedding) — alias the exact
     # side's columns to that contract so non-default id_col/vec_col
