@@ -38,35 +38,35 @@ def shingle_rows(
 ) -> DataFrame:
     """Word-n-gram shingles as ROWS (doc_id, g).
 
-    posexplode + window-lead instead of array HOFs: per-element lambda
-    evaluation (transform/element_at with dynamic ordinals) drops out
-    of whole-stage codegen and costs ~10× — measured 23s → 1.5s on 260k
-    shingles.
+    Shuffle-free sliding window (r07): n aligned `slice`s of the token
+    array zipped (`arrays_zip`) and exploded — all fixed-argument
+    codegen expressions, NO per-doc window. The previous
+    posexplode + lead-over-window form shuffled and sorted every token
+    row by doc_id before the grams even existed (the dominant exchange
+    of the whole minhash path; at 100 TB that is a full-corpus-tokens
+    shuffle bought for nothing). Per-element lambda HOFs
+    (transform/element_at with dynamic ordinals) remain out: they drop
+    to interpreted eval and cost ~10× — measured 23s → 1.5s on 260k
+    shingles; slice/arrays_zip/explode stay in whole-stage codegen.
 
     distinct=False skips the per-(doc_id, g) dedup SHUFFLE for
     consumers that are duplicate-invariant (min in minhash_signatures,
-    collect_set in with_shingles) — the rows then stay partitioned by
-    doc_id from the window, so a following groupBy(doc_id) needs no
-    re-exchange: the whole shingle→signature path runs on ONE shuffle.
+    collect_set in with_shingles) — rows arrive doc-contiguous straight
+    off the scan split, so a following groupBy(doc_id) partial-
+    aggregates map-side to ~one row per doc before its exchange.
     """
-    from pyspark.sql import Window
-
-    toks = docs.select(
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "tok"
-        ),
+        F.explode(
+            F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(n)])
+        ).alias("_t"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
+    out = z.select(
         "doc_id",
-        "tok",
-        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)],
+        F.concat_ws(" ", *[F.col("_t")[str(j)] for j in range(n)]).alias("g"),
     )
-    gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-    out = leads.where(
-        F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)
-    ).select("doc_id", gram.alias("g"))
     return out.distinct() if distinct else out
 
 
