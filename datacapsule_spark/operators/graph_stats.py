@@ -1369,24 +1369,36 @@ def strongly_connected_components(
     dst: str = "dst",
     max_phases: int = 30,
     max_iter: int = 60,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Directed SCC → (node, component), component = min node id of
     the SCC — the directed twin of canonicalize's undirected CC, for
     the KG's directed relation graphs (calls/imports cycles).
 
-    The Pregel-style trim + forward-max-coloring + backward-reach
-    scheme: (1) TRIM peels nodes with no in- or no out-edges in the
-    active subgraph (singleton SCCs — most of a real call graph);
-    (2) forward propagation gives every node the max id that reaches
-    it; (3) a backward reachability from each color root, constrained
-    to the root's own color, carves out exactly the root's SCC; remove
-    and repeat. Every step is an edge-scale shuffle_hash join + a
-    node-keyed aggregate with per-round eager checkpoints (O(1) plan
-    depth — the pagerank machinery). Phase count is small on real
-    graphs (trim kills DAG regions wholesale) but adversarial chains
-    of interlocking cycles need one phase per cycle layer, so a
-    non-converged run RAISES (the k_core contract) rather than
-    returning a partial assignment."""
+    Two execution paths, same output (equivalence-tested), the exact
+    tiering of canonicalize.connected_components:
+
+    - edge count ≤ driver_threshold: iterative Tarjan on the driver.
+      The distributed loop below advances one hop per round in BOTH
+      its coloring and reach sweeps, so on a small graph its cost is
+      pure per-round scheduling latency (r07 measured 84s at sf0.1 —
+      ~1000 nodes — from the round floor alone); Tarjan is O(V+E) and
+      milliseconds there. A big graph usually ARRIVES here small: real
+      call/import graphs are DAG-heavy, and callers can trim first.
+    - above the threshold (or driver_threshold=0): the Pregel-style
+      trim + forward-max-coloring + backward-reach scheme: (1) TRIM
+      peels nodes with no in- or no out-edges in the active subgraph
+      (singleton SCCs — most of a real call graph); (2) forward
+      propagation gives every node the max id that reaches it; (3) a
+      backward reachability from each color root, constrained to the
+      root's own color, carves out exactly the root's SCC; remove and
+      repeat. Every step is an edge-scale shuffle_hash join + a
+      node-keyed aggregate with per-round eager checkpoints (O(1) plan
+      depth — the pagerank machinery). Phase count is small on real
+      graphs (trim kills DAG regions wholesale) but adversarial chains
+      of interlocking cycles need one phase per cycle layer, so a
+      non-converged run RAISES (the k_core contract) rather than
+      returning a partial assignment."""
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .where(F.col("s") != F.col("t"))
@@ -1400,6 +1412,8 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    if driver_threshold > 0 and e0.count() <= driver_threshold:
+        return _driver_tarjan(spark, e0, nodes0)
     done = spark.createDataFrame([], "node long, component long")
     active_nodes, e = nodes0, e0
     for _ in range(max_phases):
@@ -1527,3 +1541,78 @@ def strongly_connected_components(
             "cycle layers peel one per phase); raise max_phases"
         )
     return done
+
+
+def _driver_tarjan(spark, e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Iterative Tarjan over a collected edge list — the small-graph
+    fast path (gated at ≤ driver_threshold edges by the caller).
+    Output identical to the distributed loop: (node, component) with
+    component = min node id of the SCC; self-loops were already
+    dropped from `e`, and isolated/self-loop-only nodes (present in
+    `nodes` but not `e`) come out as singletons, as in the trim sweep.
+    Iterative (explicit stack + per-node neighbor iterators): Python's
+    recursion limit dies at ~1000-deep chains, far below the gate."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for r in e.collect():
+        adj[r["s"]].append(r["t"])
+    all_nodes = [r["node"] for r in nodes.collect()]
+
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for s in all_nodes:
+        if s in index:
+            continue
+        index[s] = low[s] = counter
+        counter += 1
+        stack.append(s)
+        on_stack.add(s)
+        path = [s]
+        iters = {s: iter(adj.get(s, ()))}
+        while path:
+            v = path[-1]
+            advanced = False
+            for w in iters[v]:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    path.append(w)
+                    iters[w] = iter(adj.get(w, ()))
+                    advanced = True
+                    break
+                if w in on_stack and index[w] < low[v]:
+                    low[v] = index[w]
+            if advanced:
+                continue
+            path.pop()
+            if path and low[v] < low[path[-1]]:
+                low[path[-1]] = low[v]
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = nodes.schema["node"].dataType
+    schema = StructType(
+        [
+            StructField("node", id_type, False),
+            StructField("component", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(sorted(comp.items()), schema)

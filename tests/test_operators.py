@@ -3717,11 +3717,17 @@ class TestSCC:
             [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (6, 1), (3, 7), (8, 9)],
             "src long, dst long",
         )
-        got = sorted((r["node"], r["component"]) for r in scc(df).collect())
-        assert got == [
-            (1, 1), (2, 1), (3, 1), (4, 4), (5, 4),
-            (6, 6), (7, 7), (8, 8), (9, 9),
-        ]
+        # both execution tiers: driver Tarjan (default gate) and the
+        # forced distributed trim/color/reach loop must agree
+        for thr in (1_000_000, 0):
+            got = sorted(
+                (r["node"], r["component"])
+                for r in scc(df, driver_threshold=thr).collect()
+            )
+            assert got == [
+                (1, 1), (2, 1), (3, 1), (4, 4), (5, 4),
+                (6, 6), (7, 7), (8, 8), (9, 9),
+            ], f"driver_threshold={thr}"
 
     def test_dag_all_singletons_and_full_cycle(self, spark):
         from datacapsule_spark.operators.graph_stats import (
@@ -3755,8 +3761,10 @@ class TestSCC:
             [(9, 10), (10, 9), (10, 7), (7, 8), (8, 7), (8, 5), (5, 6), (6, 5)],
             "src long, dst long",
         )
+        # the phase budget is a distributed-loop property; the driver
+        # Tarjan tier (default) has no phases to exhaust
         with pytest.raises(RuntimeError):
-            scc(df, max_phases=1)
+            scc(df, max_phases=1, driver_threshold=0)
         got = sorted((r["node"], r["component"]) for r in scc(df).collect())
         assert got == [(5, 5), (6, 5), (7, 7), (8, 7), (9, 9), (10, 9)]
 
@@ -3789,7 +3797,9 @@ class TestSCC:
                 for v in comp:
                     want[v] = root
             df = spark.createDataFrame(edges, "src long, dst long")
-            got = {
-                r["node"]: r["component"] for r in scc(df).collect()
-            }
-            assert got == want, f"seed {seed}"
+            for thr in (1_000_000, 0):
+                got = {
+                    r["node"]: r["component"]
+                    for r in scc(df, driver_threshold=thr).collect()
+                }
+                assert got == want, f"seed {seed} driver_threshold={thr}"
