@@ -746,7 +746,11 @@ def dsir_select(
         .withColumnRenamed("doc_id", "__raw_id")
         .localCheckpoint(eager=True)
     )
-    q = qd.groupBy("b").agg(F.sum("cnt").alias("qc"))
+    # q feeds the 1-row total AND the ratio table: materialize the
+    # ≤ n_buckets-row fold so the corpus-scale qd scan+agg runs once
+    q = qd.groupBy("b").agg(F.sum("cnt").alias("qc")).localCheckpoint(
+        eager=False
+    )
     p = (
         hashed_ngram_buckets(target, n_buckets, text_col, id_col)
         .groupBy("b")

@@ -523,26 +523,38 @@ def shortest_paths(
     """
     adj = _adjacency(edges, src, dst, directed)
     seed_col = seeds.columns[0]
-    dist = (
+    dist0 = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("node")
+    # visited stays a UNION of the per-hop checkpointed levels (the
+    # traverse.py pattern) instead of a re-checkpointed growing table:
+    # one eager checkpoint per hop, not two — at toy scale the saved
+    # action is the dominant cost, at scale the saved pass over the
+    # accumulated distance table is
+    levels = [dist0]
+    frontier = dist0.select("node")
     for hop in range(1, max_hops + 1):
+        visited = levels[0].select("node")
+        for lv in levels[1:]:
+            visited = visited.unionAll(lv.select("node"))
         nxt = (
             frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.hint("shuffle_hash"), "node", "left_anti")
+            .join(visited.hint("shuffle_hash"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
         if not nxt.take(1):
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt.select("node")
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionAll(lv)
     return dist
 
 
