@@ -889,23 +889,22 @@ def duplicate_spans(
         raise ValueError('keep must be "none" or "first"')
     L = int(min_len)
 
-    toks = docs.select(
+    # shuffle-free every-position windows (r07, the shingle_rows trick):
+    # L aligned slices of the token array zipped and POSexploded — the
+    # zip index IS the 0-based window position, so no posexplode+lead-
+    # over-window pass (which shuffled and sorted every token row by
+    # doc_id before a single fingerprint existed)
+    tokarr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    length = F.greatest(F.size(tokarr) - F.lit(L - 1), F.lit(0))
+    wins = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "tok"
-        ),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
+        F.posexplode(
+            F.arrays_zip(*[F.slice(tokarr, j + 1, length) for j in range(L)])
+        ).alias("pos", "_t"),
+    ).select(
         "doc_id",
         "pos",
-        "tok",
-        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, L)],
-    )
-    wins = leads.where(F.col(f"t{L-1}").isNotNull()).select(
-        "doc_id",
-        "pos",
-        F.md5(F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, L)])).alias(
+        F.md5(F.concat_ws(" ", *[F.col("_t")[str(j)] for j in range(L)])).alias(
             "h"
         ),
     )
@@ -920,17 +919,29 @@ def duplicate_spans(
     # compact local spill that shrinks relative to it.
     if materialize:
         wins = wins.localCheckpoint(eager=True)
-    # packed (doc_id, pos) lets the canonical first occurrence fall out
-    # of the SAME partial-aggregating groupBy that counts duplicates
-    packed = F.col("doc_id") * F.lit(1 << 31) + F.col("pos")
+    # lexicographic struct-min (the containment_pairs argmin pattern)
+    # lets the canonical first occurrence fall out of the SAME partial-
+    # aggregating groupBy that counts duplicates. NOT arithmetic
+    # packing (doc_id * 2^31 + pos): that silently assumed numeric
+    # doc_id < 2^32 — string ids failed under ANSI mode and 64-bit ids
+    # overflowed to a wrong keep-first pick (ADVICE r06). Ordering is
+    # identical for in-range numeric ids, so results are unchanged.
     dup = (
         wins.groupBy("h")
-        .agg(F.count("*").alias("n"), F.min(packed).alias("first_at"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
         .where(F.col("n") > 1)
     )
     hits = wins.join(dup.hint("shuffle_hash"), "h")
     if keep == "first":
-        hits = hits.where(packed != F.col("first_at"))
+        hits = hits.where(
+            ~(
+                (F.col("doc_id") == F.col("_first.doc_id"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
     dp = hits.select("doc_id", "pos")
     w2 = Window.partitionBy("doc_id").orderBy("pos")
     isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(w2))

@@ -3534,6 +3534,35 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError):
             duplicate_spans(docs, min_len=4, keep="last")
 
+    def test_keep_first_string_and_wide_ids(self, spark):
+        """The canonical-occurrence argmin is a lexicographic struct
+        min, id-type-generic: string doc_ids (accepted everywhere else
+        in the dedup family) and >2^32 numeric ids must pick the right
+        keep-first occurrence — the old doc_id*2^31+pos packing failed
+        both (ADVICE r06: ANSI error on strings, silent overflow on
+        xxhash64-scale ids)."""
+        from datacapsule_spark.operators.dedup import duplicate_spans
+
+        shared = "alpha beta gamma delta"
+        sdocs = spark.createDataFrame(
+            [("a::1", f"{shared} x"), ("b::2", f"y {shared}")],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"] for r in duplicate_spans(
+            sdocs, min_len=4, keep="first"
+        ).collect()}
+        assert got == {"b::2"}  # 'a::1' holds the canonical occurrence
+
+        big = 1 << 40  # far beyond the old 2^32 packing assumption
+        ndocs = spark.createDataFrame(
+            [(big + 7, f"{shared} x"), (big + 3, f"y {shared}")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"] for r in duplicate_spans(
+            ndocs, min_len=4, keep="first"
+        ).collect()}
+        assert got == {big + 7}  # min id holds the canonical occurrence
+
     def test_random_corpora_match_bruteforce(self, spark):
         """3 seeded random corpora over a tiny alphabet (dense window
         collisions) against a pure-Python reference for BOTH keep
