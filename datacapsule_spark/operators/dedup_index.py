@@ -207,7 +207,16 @@ def compact_lsh_index(spark: SparkSession, path: str) -> int:
     tombstoned rows physically removed, everything restamped version 0.
     Rename-aside swap (a full copy exists on disk at every instant);
     reads identical before/after by construction. Returns the live doc
-    count."""
+    count.
+
+    Constraints (ADVICE r06): the swap is two os.rename calls, so (a)
+    it assumes a LOCAL filesystem — unlike the Spark writes that build
+    the index, it will not work against object stores; and (b) between
+    the two renames the index path briefly does not exist, so run
+    compaction in a maintenance window: single writer, no concurrent
+    reader (e.g. pause the streaming foreachBatch probe). For a
+    no-gap swap, point readers at a versioned directory via an
+    indirection of your own (pointer file / symlink flip)."""
     import os
     import shutil
 

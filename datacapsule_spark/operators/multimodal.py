@@ -319,19 +319,32 @@ def frame_sample_execute(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return _spread_payloads(vids).mapInPandas(gen, schema=FRAME_SAMPLES)
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, strict: bool = False
+) -> DataFrame:
     """Decode → area/nearest resize → re-encode (PPM) for image rows;
     non-image rows pass through untouched. Returns MEDIA-shaped data
     with updated payload/width/height/mime. Thumbnail generation for a
     training corpus: runs where the payload lives, no shuffle of pixels
-    beyond the skew-spread."""
+    beyond the skew-spread.
+
+    strict=False (default) quarantines per ROW, mirroring
+    decode_features_kernel: a compressed (e.g. image/png) or corrupt
+    payload among kind='image' rows passes through UNCHANGED instead of
+    killing the whole stage — at 100 TB one undecodable blob must not
+    fail the job (ADVICE r06). strict=True re-raises (debugging)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = pdf.to_dict("records")
             for r in rows:
-                _family, img = decode_media(r["mime"], bytes(r["payload"]))
-                small = mc.resize_area(img, out_w, out_h)
+                try:
+                    _family, img = decode_media(r["mime"], bytes(r["payload"]))
+                    small = mc.resize_area(img, out_w, out_h)
+                except Exception:
+                    if strict:
+                        raise
+                    continue  # unresizable row rides through unchanged
                 r["payload"] = mc.encode_ppm(small)
                 r["width"], r["height"] = out_w, out_h
                 r["mime"] = "image/x-portable-pixmap"

@@ -300,8 +300,15 @@ def streaming_lsh_dedup_on_ingest(
 
     Replay caveat (at-least-once foreachBatch): a re-delivered batch
     re-probes and re-appends its hits — hits_dir rows carry batch_id,
-    so consumers dedup with a DISTINCT or latest-batch read; the index
-    side is replay-safe as in streaming_lsh_index_update. Returns the
+    so consumers dedup with a DISTINCT or latest-batch read. A replay
+    can also arrive AFTER the batch's own upsert committed (crash
+    between the upsert and the sink checkpoint), so the re-probe runs
+    against an index that already holds the batch's own docs — the
+    probe hits are therefore anti-joined against the batch's own ids
+    on index_id, keeping replayed probes idempotent up to DISTINCT
+    (without it, within-batch near-dup pairs appeared as NEW rows a
+    DISTINCT cannot remove — ADVICE r06). The index side is
+    replay-safe as in streaming_lsh_index_update. Returns the
     StreamingQuery."""
     from ..operators.dedup_index import lsh_index_probe, upsert_lsh_index
 
@@ -309,8 +316,14 @@ def streaming_lsh_dedup_on_ingest(
         schema = spark.read.parquet(docs_dir).schema
 
     def step(batch_df, bid):
-        hits = lsh_index_probe(batch_df, index_dir).withColumn(
-            "batch_id", F.lit(int(bid)).cast("long")
+        hits = (
+            lsh_index_probe(batch_df, index_dir)
+            .join(
+                batch_df.select(F.col("doc_id").alias("index_id")),
+                "index_id",
+                "left_anti",
+            )
+            .withColumn("batch_id", F.lit(int(bid)).cast("long"))
         )
         hits.write.mode("append").parquet(hits_dir)
         upsert_lsh_index(batch_df, index_dir, version=version_base + bid)

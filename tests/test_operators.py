@@ -1268,6 +1268,30 @@ class TestMultimodal:
         # non-image rows pass through byte-identical
         assert bytes(out["a1"]["payload"]) == b"not-an-image"
 
+    def test_resize_images_quarantines_bad_rows(self, spark):
+        """One corrupt/compressed payload among kind='image' rows must
+        not kill the stage (ADVICE r06): strict=False (default) passes
+        the unresizable row through unchanged; strict=True raises."""
+        import numpy as np
+        import pytest as _pytest
+
+        from datacapsule_spark.operators.media_codecs import encode_bmp
+        from datacapsule_spark.operators.multimodal import MEDIA, resize_images
+
+        img = np.full((8, 8, 3), 100, dtype=np.uint8)
+        rows = [
+            ("ok", "image", bytearray(encode_bmp(img)), "image/bmp", 8, 8, None),
+            ("bad", "image", bytearray(b"\x89PNG-corrupt"), "image/png",
+             8, 8, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA)
+        out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+        assert out["ok"]["mime"] == "image/x-portable-pixmap"
+        assert bytes(out["bad"]["payload"]) == b"\x89PNG-corrupt"  # unchanged
+        assert out["bad"]["mime"] == "image/png"
+        with _pytest.raises(Exception):
+            resize_images(media, 4, 4, strict=True).collect()
+
 
 class TestTraverse:
     @pytest.fixture(scope="class")

@@ -631,3 +631,52 @@ def test_streaming_dedup_on_ingest(spark, tmp_path):
     assert sorted(
         (r["a"], r["b"]) for r in lsh_index_pairs(spark, idx).collect()
     ) == want
+
+
+def test_streaming_dedup_on_ingest_replay_idempotent(spark, tmp_path):
+    """At-least-once replay AFTER the batch's upsert committed but
+    before the sink checkpoint: the re-probe runs against an index
+    already holding the batch's own docs, so without the own-id
+    anti-join, within-batch near-dup pairs would appear as NEW hit
+    rows that a DISTINCT cannot remove (ADVICE r06). Simulated by
+    re-running the stream with a FRESH checkpoint dir (same batch,
+    index already folded): hits must stay the same set."""
+    from datacapsule_spark.operators.dedup_index import build_lsh_index
+    from datacapsule_spark.streaming.stream_ops import (
+        streaming_lsh_dedup_on_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "standing shared near dup body")], "doc_id long, text string"
+    )
+    idx, hits = str(tmp_path / "idx"), str(tmp_path / "hits")
+    build_lsh_index(base, idx)
+
+    src = str(tmp_path / "in")
+    # 10 and 11 are near-dups of each other WITHIN the batch
+    spark.createDataFrame(
+        [(10, "totally new shared pair body"),
+         (11, "totally new shared pair body")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+
+    q = streaming_lsh_dedup_on_ingest(
+        spark, src, idx, hits, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    first = {
+        (r["new_id"], r["index_id"])
+        for r in spark.read.parquet(hits).collect()
+    }
+    assert first == set()  # within-batch pairs are the caller's concern
+
+    # replay: fresh checkpoint, index already contains 10 and 11
+    q2 = streaming_lsh_dedup_on_ingest(
+        spark, src, idx, hits, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    replayed = {
+        (r["new_id"], r["index_id"])
+        for r in spark.read.parquet(hits).collect()
+    }
+    assert replayed == first  # idempotent up to DISTINCT
