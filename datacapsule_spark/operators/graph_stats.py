@@ -749,14 +749,20 @@ def hits(
     """Kleinberg HITS → (node, hub, authority), both L1-normalized.
 
     Per iteration (the standard update order): authority(v) = Σ hub(u)
-    over in-edges, L1-normalize; hub(u) = Σ authority(v) over
-    out-edges (the NEW authorities), L1-normalize.  Each normalizer is
-    a 1-row aggregate folded in-plan via a broadcast cross join (the
-    pagerank dangling-mass pattern — no per-round collect), each round
-    eagerly localCheckpoints so the plan stays O(1) deep.  Per-round
-    scalar normalization only rescales the power-iteration trajectory,
-    so the L1-normalized result matches any other normalization
-    convention (e.g. NetworkX's) at the fixed point.
+    over in-edges; hub(u) = Σ authority(v) over out-edges (the NEW
+    authorities). Normalization is DEFERRED to the end (r07): positive
+    scalars factor through the linear maps and the L1 norms, so
+    normalizing once after the last push yields the same vectors as
+    normalizing every half-step — and each push becomes ONE edge-scale
+    join + aggregation per eager checkpoint, with no per-push 1-row
+    normalizer broadcast and no per-push completion join (nodes absent
+    from a score table are exact zeros; the final assembly left-joins
+    the node set back in). Magnitudes grow as (mean degree)^iter —
+    fine in doubles for any real max_iter (overflow needs
+    d^max_iter > 1e308). Per-round scalar normalization only rescales
+    the power-iteration trajectory, so the L1-normalized result
+    matches any other normalization convention (e.g. NetworkX's) at
+    the fixed point.
     """
     if max_iter < 1:
         raise ValueError("hits needs max_iter >= 1")
@@ -784,43 +790,44 @@ def hits(
     )
 
     def push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
-        raw = (
+        # unnormalized push: one edge-scale join + aggregation, nothing
+        # else. Nodes absent from `scores` are exact zeros — a 0-score
+        # row contributes +0.0 to every sum it joins, so dropping it
+        # changes no value and no downstream consumer.
+        return (
             e.join(scores.hint("shuffle_hash"), e[key_in] == scores.node)
             .groupBy(F.col(key_out).alias("node"))
-            .agg(F.sum("x").alias("raw"))
-            # consumed TWICE per push (the broadcast normalizer subtree
-            # AND the main join): without materialization the edge-scale
-            # join+agg executes once per consumer — the r06 DSIR
-            # double-execution bug, found here by r07's plan audit
-            .localCheckpoint(eager=False)
+            .agg(F.sum("x").alias("x"))
+            .localCheckpoint(eager=True)
         )
-        tot = raw.groupBy().agg(
-            F.coalesce(F.sum("raw"), F.lit(0.0)).alias("_tot")
+
+    a = None
+    for _ in range(max_iter):
+        a = push(h, "s", "t")  # authorities
+        h = push(a, "t", "s")  # hubs
+
+    def finish(scores: DataFrame, name: str) -> DataFrame:
+        # L1-normalize once, completing the node set (zeros for nodes
+        # the final push never reached)
+        tot = scores.groupBy().agg(
+            F.coalesce(F.sum("x"), F.lit(0.0)).alias("_tot")
         )
         return (
-            nodes.join(raw.hint("shuffle_hash"), "node", "left")
+            nodes.join(scores.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
                 "node",
                 F.when(
                     F.col("_tot") > 0,
-                    F.coalesce("raw", F.lit(0.0)) / F.col("_tot"),
+                    F.coalesce("x", F.lit(0.0)) / F.col("_tot"),
                 )
                 .otherwise(F.lit(0.0))
-                .alias("x"),
+                .alias(name),
             )
         )
 
-    a = None
-    for _ in range(max_iter):
-        a = push(h, "s", "t").localCheckpoint(eager=True)  # authorities
-        h = push(a, "t", "s").localCheckpoint(eager=True)  # hubs
-    return (
-        h.select("node", F.col("x").alias("hub"))
-        .join(
-            a.select("node", F.col("x").alias("authority")).hint("shuffle_hash"),
-            "node",
-        )
+    return finish(h, "hub").join(
+        finish(a, "authority").hint("shuffle_hash"), "node"
     )
 
 
