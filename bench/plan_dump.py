@@ -35,8 +35,62 @@ TOUCHED = [
 ]
 
 
+def dump_round_bodies(tag: str, which: str) -> None:
+    """Capture the PER-ROUND plan of an iterative operator: final-plan
+    explains only show the last checkpoint scan, so this monkeypatches
+    DataFrame.localCheckpoint to dump the plan of each checkpointed
+    round body as it is built (plans/r07/<op>_round<N>_<tag>.txt,
+    capped at the first few rounds — they are structurally
+    identical)."""
+    import contextlib
+    import io
+
+    # Spark 4: pyspark.sql.DataFrame is the abstract base; the concrete
+    # class whose methods actually run is classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from datacapsule_spark.queries import QUERIES
+    from datacapsule_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("plan-dump-rounds", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r07",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    orig = DataFrame.localCheckpoint
+    state = {"n": 0}
+
+    def capturing(self, eager=True):
+        state["n"] += 1
+        if state["n"] <= 8:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                self.explain("formatted")
+            path = os.path.join(
+                out_dir, f"{which}_ckpt{state['n']:02d}_{tag}.txt"
+            )
+            with open(path, "w") as f:
+                f.write(buf.getvalue())
+            print(f"wrote {path}", file=sys.stderr)
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = capturing
+    try:
+        QUERIES[which](spark, sf_dir)
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
 def main() -> None:
     tag = sys.argv[1]
+    if tag == "rounds":
+        dump_round_bodies(sys.argv[2], sys.argv[3])
+        return
     names = sys.argv[2:]
     if names == ["--all-touched"] or not names:
         names = TOUCHED
