@@ -38,6 +38,29 @@ EMBED_DIM = 64
 # dim 1024 and wins below ~dim 64; the crossover sits between)
 AUTO_KERNEL_DIM = 128
 
+# the batch kernels collect the QUERY set to the driver (documented
+# driver-sized contract); this ceiling turns a corpus-sized "queries"
+# DataFrame into an actionable error instead of a driver OOM (the
+# max_exact_nodes routing-guidance pattern, VERDICT r06 #6)
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_queries(queries: DataFrame, cols, max_queries: int):
+    """collect() the query set with a limit-probe guard: fetching
+    max_queries+1 rows costs nothing extra (same single action) and
+    proves the bound before anything is built from the rows."""
+    rows = queries.select(*cols).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the batch "
+            "kernels ship queries driver-side by design (corpus stays "
+            "distributed). For corpus-scale query sets use the "
+            "distributed paths — cosine_topk_batch (broadcast join) or "
+            "a chunked driver loop — or raise max_queries if the "
+            "driver really has the memory."
+        )
+    return rows
+
 
 # ------------------------------------------------------- descriptors (G6)
 
@@ -212,6 +235,7 @@ def cosine_topk_batch_arrow(
     k: int = 10,
     id_col: str = "id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """Wide-dim scale path for batch brute-force k-NN (exact, same
     semantics as cosine_topk_batch).
@@ -241,7 +265,7 @@ def cosine_topk_batch_arrow(
     """
     from pyspark.sql import Window
 
-    qrows = queries.select("query_id", "qvec").collect()
+    qrows = _collect_queries(queries, ("query_id", "qvec"), max_queries)
     qids_all = [r["query_id"] for r in qrows]
     qmat_all = np.asarray([list(r["qvec"]) for r in qrows], dtype=np.float64)
     if len(qrows):
@@ -364,6 +388,7 @@ def ivf_topk_batch(
     vec_col: str = "embedding",
     kernel: str = "auto",
     dim: int | None = None,
+    max_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """Batched IVF probe: Q queries in ONE Spark job (r03 VERDICT item
     4 — the per-query `ivf_topk` loop is Q scheduler round-trips).
@@ -451,7 +476,7 @@ def ivf_topk_batch(
         # per-list rows against that list's query submatrix, emitting
         # map-side per-query top-k in the global (sim desc, id asc)
         # tie order. The window then finalizes ≤ fragments·Q·k rows.
-        qrows = queries.select("query_id", "qvec").collect()
+        qrows = _collect_queries(queries, ("query_id", "qvec"), max_queries)
         qindex, qvecs = {}, []
         for r in qrows:
             v = np.asarray(list(r["qvec"]), dtype=np.float64)

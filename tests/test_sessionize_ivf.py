@@ -262,6 +262,35 @@ class TestArrowKNN:
             "query_id", "id", "sim", "rn",
         ]
 
+    def test_driver_query_collect_guarded(self, spark):
+        """The batch kernels collect the QUERY set driver-side by
+        contract; a corpus-sized query DataFrame must raise with
+        routing guidance (the max_exact_nodes pattern), not OOM the
+        driver (VERDICT r06 #6). The limit-probe costs no extra
+        action, so a compliant set still works at the ceiling."""
+        import pytest as _pytest
+
+        from datacapsule_spark.vectorize import (
+            cosine_topk_batch_arrow, ivf_index, ivf_topk_batch,
+        )
+
+        df = self._corpus(spark, 30, 8)
+        queries = df.select(
+            F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        with _pytest.raises(ValueError, match="max_queries"):
+            cosine_topk_batch_arrow(df, queries, k=3, max_queries=10)
+        assert (
+            cosine_topk_batch_arrow(df, queries, k=1, max_queries=30).count()
+            == 30
+        )
+        indexed, cents = ivf_index(df, n_lists=2, seed=1)
+        with _pytest.raises(ValueError, match="max_queries"):
+            ivf_topk_batch(
+                indexed, cents, queries, k=2, n_probe=2,
+                kernel="arrow", max_queries=10,
+            )
+
 
 class TestSessionize:
     def test_fold_oracle(self):
