@@ -206,20 +206,35 @@ def _downstream(
         partition_cardinality=len(ALL_PREDICATES),
     )
 
-    nodes = tracker.materialize(
-        "50_nodes", lambda: build_nodes(canon_triples), params=down
-    )
     # lazy projection of the 40 boundary — already distinct on
     # (src, relation, dst), no extra stage write (the old 60_edges
     # stage re-wrote and re-read the full triple stream for a rename)
     edges = build_edges(canon_triples, assume_unique=True)
 
+    # nodes + the 4 relational tables are INDEPENDENT projections of
+    # the (already materialized) 40 boundary with unpartitioned writes
+    # — submit them from a small thread pool so each job's task tail is
+    # back-filled by the next job's tasks (guide §2.6); actions were
+    # only sequential because the driver called them sequentially.
+    # Safe: separate stage dirs, and only partitioned writes touch
+    # session conf in StageTracker.materialize.
+    from concurrent.futures import ThreadPoolExecutor
+
     rel = build_relational(canon_triples, assume_unique=True)
-    rel_out = {}
-    for name, df in rel.items():
-        rel_out[name] = tracker.materialize(
-            f"70_rel_{name}", lambda df=df: df, params=down
-        )
+    jobs = {"50_nodes": lambda: build_nodes(canon_triples)}
+    jobs.update({
+        f"70_rel_{name}": (lambda df=df: df) for name, df in rel.items()
+    })
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            stage: pool.submit(tracker.materialize, stage, thunk, params=down)
+            for stage, thunk in jobs.items()
+        }
+        done = {stage: f.result() for stage, f in futs.items()}
+    nodes = done.pop("50_nodes")
+    rel_out = {
+        stage[len("70_rel_"):]: df for stage, df in done.items()
+    }
 
     return {
         "triples_raw": triples,
