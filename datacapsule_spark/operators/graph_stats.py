@@ -642,7 +642,7 @@ def multi_source_distances(
     """
     adj = _adjacency(edges, src, dst, directed)
     s = sources.columns[0]
-    dist = (
+    dist0 = (
         sources.select(F.col(s).alias("source"))
         .distinct()
         .select(
@@ -650,20 +650,30 @@ def multi_source_distances(
         )
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("source", "node")
+    # one eager checkpoint per hop (see shortest_paths): the visited
+    # set is a union of the per-hop checkpointed levels, never a
+    # re-checkpointed growing table
+    levels = [dist0]
+    frontier = dist0.select("source", "node")
     for hop in range(1, max_hops + 1):
+        visited = levels[0].select("source", "node")
+        for lv in levels[1:]:
+            visited = visited.unionAll(lv.select("source", "node"))
         nxt = (
             frontier.join(adj.hint("shuffle_hash"), frontier.node == adj.u)
             .select("source", F.col("v").alias("node"))
             .distinct()
-            .join(dist.hint("shuffle_hash"), ["source", "node"], "left_anti")
+            .join(visited.hint("shuffle_hash"), ["source", "node"], "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
         if not nxt.take(1):
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt.select("source", "node")
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionAll(lv)
     return dist
 
 
