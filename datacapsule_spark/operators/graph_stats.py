@@ -38,6 +38,7 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # feeds BOTH endpoint joins
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -428,6 +429,8 @@ def link_prediction(
         # jaccard denominators must use the SAME capped neighbor sets
         # the intersection counts — recount degrees post-cap
         deg = nbz.groupBy("n").agg(F.count("*").alias("d"))
+    # deg feeds BOTH endpoint joins (da, db) — materialize once
+    deg = deg.localCheckpoint(eager=False)
     n1 = nbz.alias("n1")
     n2 = nbz.alias("n2")
     scored = (
@@ -1100,6 +1103,7 @@ def local_clustering(
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # feeds BOTH endpoint joins
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
