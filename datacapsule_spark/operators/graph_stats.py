@@ -1342,10 +1342,18 @@ def hyperball(
         )
 
     out = [nf_at(state, 0)]
-    sig = state.agg(
-        F.count("*").alias("n"), F.sum("rv").alias("s")
-    ).collect()[0]
-    prev = (sig["n"], sig["s"])
+
+    def sig_of(st):
+        # registers only grow, so (row count, register sum) is a
+        # complete convergence witness — computed ONLY when early_stop
+        # needs it (with early_stop=False it was one wasted collect
+        # action per radius, r07)
+        row = st.agg(
+            F.count("*").alias("n"), F.sum("rv").alias("s")
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = sig_of(state) if early_stop else None
     for r in range(1, max_radius + 1):
         grown = e.join(
             state.hint("shuffle_hash"), e.t == state.node
@@ -1357,13 +1365,11 @@ def hyperball(
             .localCheckpoint(eager=True)
         )
         out.append(nf_at(state, r))
-        sig = state.agg(
-            F.count("*").alias("n"), F.sum("rv").alias("s")
-        ).collect()[0]
-        cur = (sig["n"], sig["s"])
-        if early_stop and cur == prev:
-            break
-        prev = cur
+        if early_stop:
+            cur = sig_of(state)
+            if cur == prev:
+                break
+            prev = cur
 
     from functools import reduce
 
