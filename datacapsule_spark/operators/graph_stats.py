@@ -163,7 +163,12 @@ def pagerank(
     localCheckpoints to truncate lineage, so the plan stays O(1) deep
     across max_iter rounds (the property that lets the loop run on a
     billion-edge graph without a 20-level join tower)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # e feeds nodes (twice), outdeg AND links across several setup
+    # actions — materialize once or the caller's edge lineage (e.g.
+    # the cosupply self-join) re-executes per consumer (r07: 4x)
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("t").alias("node")))
@@ -292,7 +297,11 @@ def personalized_pagerank(
     1-row aggregate, eager localCheckpoint keeping the plan O(1) deep.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # materialized once: nodes (two branches), outdeg and links all
+    # consume e across separate setup actions (r07 — see pagerank)
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).distinct().localCheckpoint(eager=False)
     if not isinstance(seeds, DataFrame):
         if not seeds:
             raise ValueError("seeds must be non-empty")

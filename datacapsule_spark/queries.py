@@ -553,7 +553,10 @@ def dedup_simhash_pairs_docs(spark, sf_dir):
     the oracle to witness at every SF."""
     from .operators.dedup import simhash64, simhash_pairs
 
-    fp = simhash64(_docs(spark, sf_dir))
+    # fp feeds BOTH union branches (itself + the planted twin
+    # projection): materialize once or the 60-bit fingerprint
+    # aggregation runs per branch (r07)
+    fp = simhash64(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     flip = F.expr(
         "shiftleft(cast(1 as bigint), cast(pmod(doc_id, 60) as int))"
     )
@@ -1839,8 +1842,8 @@ def graph_walks_cosupply(spark, sf_dir):
     paths."""
     from .operators.graph_stats import random_walks
 
-    pairs = _cosupply_pairs(spark, sf_dir)
-    nodes = (
+    pairs = _cosupply_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (  # pairs feeds both branches + the walk itself (r07)
         pairs.select(F.col("a").alias("n"))
         .unionAll(pairs.select(F.col("b").alias("n")))
         .distinct()
@@ -1993,7 +1996,9 @@ def graph_hyperball_cosupply(spark, sf_dir):
     bound."""
     from .operators.graph_stats import hyperball
 
-    p = _cosupply_pairs(spark, sf_dir)
+    # p feeds both union branches: materialize once or the lineitem
+    # self-join runs per branch (r07)
+    p = _cosupply_pairs(spark, sf_dir).localCheckpoint(eager=False)
     sym = p.unionByName(
         p.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -2053,8 +2058,10 @@ def graph_ppr_cosupply(spark, sf_dir):
     recursive-CTE power method with the restart vector folded in."""
     from .operators.graph_stats import personalized_pagerank
 
-    pairs = _cosupply_pairs(spark, sf_dir, "src", "dst")
-    nodes = (
+    pairs = _cosupply_pairs(
+        spark, sf_dir, "src", "dst"
+    ).localCheckpoint(eager=False)
+    nodes = (  # pairs feeds both branches + the operator itself (r07)
         pairs.select(F.col("src").alias("node"))
         .unionAll(pairs.select(F.col("dst").alias("node")))
         .distinct()
