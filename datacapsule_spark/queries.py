@@ -1825,7 +1825,8 @@ def graph_sssp_cosupply(spark, sf_dir):
     BFS taking min(dist) per node."""
     from .operators.graph_stats import shortest_paths
 
-    pairs = _cosupply_pairs(spark, sf_dir)
+    # pairs feeds the seed aggregate AND both adjacency branches
+    pairs = _cosupply_pairs(spark, sf_dir).localCheckpoint(eager=False)
     seed = pairs.agg(F.min("a").alias("s"))
     d = shortest_paths(pairs, seed, src="a", dst="b", max_hops=4, directed=False)
     return d.select(
@@ -1865,7 +1866,8 @@ def graph_closeness_cosupply(spark, sf_dir):
     folded to (n_reachable−1)/Σdist."""
     from .operators.graph_stats import closeness_centrality
 
-    pairs = _cosupply_pairs(spark, sf_dir)
+    # consumed by the node set (x2), the reversed edges and the BFS
+    pairs = _cosupply_pairs(spark, sf_dir).localCheckpoint(eager=False)
     c = closeness_centrality(pairs, src="a", dst="b", directed=False)
     return (
         c.select(
@@ -1886,7 +1888,7 @@ def graph_betweenness_cosupply(spark, sf_dir):
     join — no Brandes backward sweep on either engine."""
     from .operators.graph_stats import betweenness_centrality
 
-    pairs = _cosupply_pairs(spark, sf_dir)
+    pairs = _cosupply_pairs(spark, sf_dir).localCheckpoint(eager=False)
     bc = betweenness_centrality(
         pairs, src="a", dst="b", directed=False, max_hops=5
     )
@@ -2125,7 +2127,9 @@ def graph_kcore_cosupply(spark, sf_dir):
 def graph_degree_histogram_cosupply(spark, sf_dir):
     """Degree distribution of the sparse co-supply graph — (degree,
     n_nodes), the first screen of any graph-shape audit."""
-    pairs = _cosupply_pairs(spark, sf_dir, min_qty=50)
+    pairs = _cosupply_pairs(
+        spark, sf_dir, min_qty=50
+    ).localCheckpoint(eager=False)  # both degree-union branches
     und = pairs.where(F.col("a") != F.col("b"))
     deg = (
         und.select(F.col("a").alias("node"))
@@ -2147,7 +2151,7 @@ def graph_motif_open_wedges(spark, sf_dir):
 
     edges = _cosupply_pairs(spark, sf_dir, "src", "dst").withColumn(
         "relation", F.lit("cosupply")
-    )
+    ).localCheckpoint(eager=False)  # three motif join legs consume it
     m = find_motif(edges, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").where(
         F.col("a") != F.col("c")
     )
@@ -2175,7 +2179,7 @@ def graph_motif_varlen_reach(spark, sf_dir):
         F.col("a").alias("src"),
         F.lit("cosupply").alias("relation"),
         F.col("b").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # per-level reach joins consume it
     return find_motif(edges, "(a)-[*2..3]->(b); !(a)-[]->(b)")
 
 
