@@ -32,6 +32,15 @@ TOUCHED = [
     "vector_ann_ivf_batch",
     "vector_ann_recall",
     "events_lag_delta",
+    # session 2: argmin-per-key windows -> min_by aggregation; narrow
+    # single-file scans spread before per-row scoring work
+    "text_repetition_report",
+    "vector_topk",
+    "vector_quantized_topk",
+    "vector_knn_batch",
+    "graph_lpa_cosupply",
+    "graph_walks_cosupply",
+    "dedup_passages_docs",
 ]
 
 

@@ -257,15 +257,23 @@ def repetition_report(
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("c"), F.desc(F.length("g")), F.asc("g")
-        )
-        top = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "doc_id", (F.col("c") * F.length("g")).alias(f"_cov{n}")
-            )
+        # argmax per doc by (c desc, len desc, g asc) as a min_by over
+        # the negated-numeric ordering struct: a hash aggregation that
+        # partial-aggregates map-side, where the former row_number
+        # window shuffled AND sorted the whole corpus-scale gram-count
+        # table once per n (the dominant exchanges of this report)
+        top = counts.groupBy("doc_id").agg(
+            F.min_by(
+                F.struct(F.col("c"), F.col("g")),
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    (-F.length("g")).alias("nl"),
+                    F.col("g").alias("g"),
+                ),
+            ).alias("_w")
+        ).select(
+            "doc_id",
+            (F.col("_w.c") * F.length("_w.g")).alias(f"_cov{n}"),
         )
         out = out.join(top, "doc_id", "left")
 

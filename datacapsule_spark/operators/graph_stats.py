@@ -7,7 +7,7 @@ Complements the engine's BFS (traverse.py) and connected components
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -254,19 +254,24 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(max_iter):
         # shuffle_hash: edge-scale × node-scale, both stats-less
         votes = und.join(
             labels.hint("shuffle_hash"), und.v == labels.node
         ).select("u", "label")
+        # majority vote (ties -> min label) as min_by over the
+        # (-count, label) ordering — two partial-aggregating hash aggs
+        # per round where the former row_number window added a full
+        # shuffle AND sort of the node×label vote table every round
         labels = (
             votes.groupBy("u", "label")
             .agg(F.count("*").alias("c"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            .groupBy("u")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("label")
+            )
             .select(F.col("u").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
@@ -603,8 +608,11 @@ def random_walks(
         .localCheckpoint(eager=True)
     )
     out = cur
-    w = Window.partitionBy("walk_id").orderBy("h", "v")
     for step in range(1, walk_len + 1):
+        # successor = argmin (h, v) per walk — min_by hash aggregation
+        # instead of a row_number window, so the walk×degree candidate
+        # rows partial-aggregate map-side per step rather than being
+        # shuffled and sorted whole
         nxt = (
             cur.join(adj.hint("shuffle_hash"), cur.node == adj.u)
             .withColumn(
@@ -620,8 +628,8 @@ def random_walks(
                     )
                 ),
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            .groupBy("walk_id")
+            .agg(F.min_by("v", F.struct("h", "v")).alias("v"))
             .select(
                 "walk_id",
                 F.lit(step).alias("step"),

@@ -738,7 +738,9 @@ def dedup_passages_docs(spark, sf_dir):
     the group-by moves 16-byte hashes, never passages."""
     from .operators.text import chunk_documents
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _docs: chunking+fingerprinting is per-doc compute that must not
+    # serialize onto the testdata's single input split
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     low = (
         d.orderBy("doc_id")
         .limit(20)
@@ -805,7 +807,10 @@ def text_repetition_report(spark, sf_dir):
     than vacuously zero on this newline-free corpus."""
     from .operators.curation import repetition_report
 
-    d = _t(spark, sf_dir, "documents")
+    # _docs, not _t: the per-doc split/explode work below is the whole
+    # query — on the single-file testdata scan it would serialize onto
+    # one core (13.5s -> 1.9s at the 10x scale check)
+    d = _docs(spark, sf_dir)
     lin = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
     docs = d.select(
         "doc_id",
@@ -1479,8 +1484,31 @@ def dedup_containment_docs(spark, sf_dir):
 # Vector search suite over `embeddings` (SURVEY G7, F10, J6)
 # --------------------------------------------------------------------------
 
-def _emb_double(spark, sf_dir):
-    return _t(spark, sf_dir, "embeddings").withColumn(
+def _spread(spark, df, *keys):
+    """Conditionally repartition a narrow scan over the cluster — the
+    _docs pattern: only when the input has fewer splits than
+    defaultParallelism (the single-file testdata), so a real corpus
+    with enough splits pays no Exchange."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys)
+
+
+def _emb_double(spark, sf_dir, spread=True):
+    """embeddings with double vectors, spread like _docs by default:
+    per-candidate cosine/quantize work runs on the scan partitions, and
+    the testdata parquet is 1-2 input splits — without the conditional
+    repartition the brute-force scoring paths serialize onto 1-2 cores
+    (measured 5.4-6.4x wall growth for 10x rows at the scale check).
+    spread=False is for consumers whose dominant work is NOT row-wise
+    scoring of this table (the iterative KMeans fit pays ~20 Lloyd
+    rounds of per-task floor on spread toy input; those entries spread
+    the post-fit scoring table instead)."""
+    e = _t(spark, sf_dir, "embeddings")
+    if spread:
+        e = _spread(spark, e, "vec_id")
+    return e.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
 
@@ -1488,7 +1516,10 @@ def _emb_double(spark, sf_dir):
 def vector_topk(spark, sf_dir):
     """Brute-force cosine top-20 vs the vec_id=0 vector; filter→rank→
     limit (the reference's k=100-then-filter quirk fixed)."""
-    e = _emb_double(spark, sf_dir)
+    # spread=False: one codegen pass into TakeOrdered; the qvec first()
+    # plus the scan re-execute per action, so the conditional Exchange
+    # costs more than the single-pass scoring saves (A/B'd both SFs)
+    e = _emb_double(spark, sf_dir, spread=False)
     qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
     from .vectorize import _cosine_expr
 
@@ -1579,11 +1610,17 @@ def vector_ann_ivf_batch(spark, sf_dir):
     round-trips at large Q)."""
     from .vectorize import ivf_index, ivf_topk_batch
 
-    e = _emb_double(spark, sf_dir).select(
+    # spread the post-fit scoring table, NOT the fit input: the Lloyd
+    # loop pays ~20 rounds of per-task floor on spread toy input (A/B
+    # +1.0s), while the probe is per-row scoring that must not
+    # serialize onto the testdata's 1-2 scan splits (A/B'd both SFs);
+    # centroids cannot shift results here — full probe is brute force
+    e = _emb_double(spark, sf_dir, spread=False).select(
         F.col("vec_id").alias("id"), "label", "embedding"
     )
     corpus = e.where(F.col("id") >= 3)
     indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    indexed = _spread(spark, indexed, "id")
     queries = e.where(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1604,11 +1641,17 @@ def vector_ann_ivf_arrow(spark, sf_dir):
     behavior included."""
     from .vectorize import ivf_index, ivf_topk_batch
 
-    e = _emb_double(spark, sf_dir).select(
+    # spread the post-fit scoring table, NOT the fit input: the Lloyd
+    # loop pays ~20 rounds of per-task floor on spread toy input (A/B
+    # +1.0s), while the probe is per-row scoring that must not
+    # serialize onto the testdata's 1-2 scan splits (A/B'd both SFs);
+    # centroids cannot shift results here — full probe is brute force
+    e = _emb_double(spark, sf_dir, spread=False).select(
         F.col("vec_id").alias("id"), "label", "embedding"
     )
     corpus = e.where(F.col("id") >= 3)
     indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    indexed = _spread(spark, indexed, "id")
     queries = e.where(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1630,11 +1673,17 @@ def vector_ann_recall(spark, sf_dir):
     tests/test_sessionize_ivf.py against a Python-computed recall."""
     from .vectorize import ann_recall_at_k, ivf_index
 
-    e = _emb_double(spark, sf_dir).select(
+    # spread the post-fit scoring table, NOT the fit input: the Lloyd
+    # loop pays ~20 rounds of per-task floor on spread toy input (A/B
+    # +1.0s), while the probe is per-row scoring that must not
+    # serialize onto the testdata's 1-2 scan splits (A/B'd both SFs);
+    # centroids cannot shift results here — full probe is brute force
+    e = _emb_double(spark, sf_dir, spread=False).select(
         F.col("vec_id").alias("id"), "label", "embedding"
     )
     corpus = e.where(F.col("id") >= 3)
     indexed, centroids = ivf_index(corpus, n_lists=8, seed=42)
+    indexed = _spread(spark, indexed, "id")
     queries = e.where(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
     )
