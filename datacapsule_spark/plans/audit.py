@@ -34,6 +34,7 @@ class PlanReport:
     take_ordered: int = 0
     wholestage_codegen: int = 0
     exchanges: int = 0
+    windows: int = 0
 
     def scan_columns(self) -> list[set[str]]:
         out = []
@@ -68,6 +69,7 @@ def explain_report(df: DataFrame) -> PlanReport:
         # formatted mode stars codegen'd operators ("* Filter (3)")
         wholestage_codegen=len(re.findall(r"^\s*[+:-]*\s*\* ", text, re.M)),
         exchanges=nodes("Exchange"),
+        windows=nodes("Window"),
     )
 
 

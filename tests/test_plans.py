@@ -455,11 +455,43 @@ def test_linkpred_no_cartesian_pruned_scan(spark):
 
 
 def test_repetition_report_pruned_scan(spark):
-    # five doc-keyed unit streams, each reading only (doc_id, text)
-    assert_plan(
+    # five doc-keyed unit streams, each reading only (doc_id, text);
+    # r07: top-gram is min_by aggregation — a window here would shuffle
+    # AND sort the corpus-scale gram-count table once per n
+    r = assert_plan(
         QUERIES["text_repetition_report"](spark, SF),
         max_scan_columns=2,
     )
+    assert r.windows == 0, r.text
+
+
+def test_argmin_round_bodies_window_free(spark):
+    """r07: per-key argmin/argmax picks inside iterative operators
+    (LPA's majority vote, random_walks' successor) must be min_by
+    aggregation, never a row_number window — the window re-shuffles
+    and sorts the full vote/candidate table EVERY round. Final plans
+    only show the last checkpoint scan, so capture each round body at
+    its localCheckpoint (the bench/plan_dump.py interception: patch
+    the classic DataFrame — the base class's methods never run on
+    Spark 4)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    captured = []
+    orig = CDF.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(explain_report(self))
+        return orig(self, eager=eager)
+
+    CDF.localCheckpoint = capturing
+    try:
+        QUERIES["graph_lpa_cosupply"](spark, SF)
+        QUERIES["graph_walks_cosupply"](spark, SF)
+    finally:
+        CDF.localCheckpoint = orig
+    assert captured
+    bad = [c.text for c in captured if c.windows]
+    assert not bad, "\n".join(bad)
 
 
 def test_tokenizer_pairs_topk_and_pruning(spark):
