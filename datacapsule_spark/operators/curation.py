@@ -57,12 +57,16 @@ def boilerplate_strip(
     broadcast_boiler=False and let AQE pick the strategy.
     """
     seg_hash = F.md5(F.col(seg_col))
+    # consumed by BOTH the boiler aggregation (via its broadcast job)
+    # and the strip join: without the lazy checkpoint the caller's
+    # whole segmentation + md5 lineage executes twice (invisible on
+    # short docs, 2x the dominant cost on long ones)
     segs = segments.select(
         F.col(id_col).alias("doc_id"),
         F.col(idx_col).alias("seg_idx"),
         F.col(seg_col).alias("seg"),
         seg_hash.alias("_h"),
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
         segs.groupBy("_h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -145,9 +149,18 @@ def gopher_quality(
         F.col(id_col).alias("doc_id"),
         toks.alias("_t"),
         F.length(F.col(text_col)).alias("n_chars"),
-        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")).alias(
-            "_sym"
-        ),
+        # symbol count via translate (delete the 63 ASCII alnum+space
+        # chars, keep the length): non-regex single pass — the old
+        # regexp_replace([A-Za-z0-9 ], "") ran the regex engine per
+        # char to build a string only measured for length (same
+        # anti-pattern as quality_exprs' punct, 13x there)
+        F.length(
+            F.translate(
+                F.col(text_col),
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 ",
+                "",
+            )
+        ).alias("_sym"),
     ).select(
         "doc_id",
         F.size("_t").alias("n_tokens"),
