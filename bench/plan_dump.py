@@ -41,6 +41,7 @@ TOUCHED = [
     "graph_lpa_cosupply",
     "graph_walks_cosupply",
     "dedup_passages_docs",
+    "dedup_ngram_jaccard_docs",
 ]
 
 

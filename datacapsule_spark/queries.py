@@ -506,32 +506,37 @@ def dedup_exact_docs(spark, sf_dir):
 
 def dedup_ngram_jaccard_docs(spark, sf_dir):
     """Exact 3-gram Jaccard ≥ 0.5 over a bounded candidate set (same
-    `source` — blocking stands in for LSH so the oracle stays SQL)."""
-    from .operators.dedup import with_shingles
+    `source` — blocking stands in for LSH so the oracle stays SQL).
+
+    r07: candidates are built as an ids-only same-source self-join and
+    scored through the ROW-form gate (ngram_jaccard_pairs) — the old
+    with_shingles form shipped full per-doc gram ARRAYS through the
+    pair join and ran array_intersect/array_union per pair (~1600-
+    element arrays at real doc lengths: 8.4 -> 4.5s at sf0.1, 142 ->
+    34s on the 29x long-doc check). Same integers by construction
+    (|A∩B| and |A∪B| over distinct gram sets), so gate at threshold 0
+    and apply the declared round-then-filter on top."""
+    from .operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir)
-    sh = with_shingles(d, "text", 3).select(
-        "doc_id", F.col("source"), F.col("grams").alias("sh")
-    ).localCheckpoint(eager=False)  # consumed by both join sides
-    a = sh.select(
-        F.col("doc_id").alias("a"), F.col("source").alias("src_a"), F.col("sh").alias("sha")
+    ids = d.select("doc_id", "source")
+    pairs = (
+        ids.alias("x")
+        .join(
+            ids.alias("y").hint("shuffle_hash"),  # corpus-scale, stats-less
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.source") == F.col("y.source")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .localCheckpoint(eager=False)  # consumed 4x inside the gate
     )
-    b = sh.select(
-        F.col("doc_id").alias("b"), F.col("source").alias("src_b"), F.col("sh").alias("shb")
-    )
+    # threshold=0: score every candidate, then apply the DECLARED
+    # round-then-filter. (A min/max size-ratio prefilter inside the
+    # gate was tried and REVERTED: on uniform-length docs it prunes
+    # ~nothing while paying two pair-scale joins — 4.45 -> 6.40s.)
     return (
-        a.join(
-            b.hint("shuffle_hash"),  # both sides corpus-scale, stats-less
-            (F.col("a") < F.col("b")) & (F.col("src_a") == F.col("src_b")),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sha", "shb"))
-                / F.size(F.array_union("sha", "shb")),
-                6,
-            ),
-        )
+        ngram_jaccard_pairs(d, pairs, "text", "doc_id", 3, threshold=0.0)
+        .withColumn("jaccard", F.round("jaccard", 6))
         .where(F.col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
     )
